@@ -1,0 +1,110 @@
+"""Benchmark harness: audio samples/sec/chip for the SRC->EQ chain.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": R}
+
+* value        — input samples/second through the full 44.1k->48k polyphase
+                 SRC (L=160/M=147) + 6-band biquad EQ chain on one chip.
+* vs_baseline  — speedup over the reference implementation's algorithm
+                 (zero-stuffed full-rate numpy convolve + sequential scipy
+                 lfilter cascade — the golden oracle) measured on this host's
+                 CPU, which is the only baseline the reference defines
+                 (BASELINE.md: no published numbers).
+
+Extra context (SNR vs oracle, stage timings) goes to stderr so stdout stays
+a single machine-readable line.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+SECONDS = 10.0
+FS = 44100
+GAINS = {"Sub-Bass": 6, "Bass": -3, "High Mids": 12, "Presence": -15,
+         "Brilliance": 4}
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def make_signal(n: int, fs: int) -> np.ndarray:
+    rng = np.random.default_rng(42)
+    t = np.arange(n) / fs
+    x = (
+        0.4 * np.sin(2 * np.pi * 440 * t)
+        + 0.2 * np.sin(2 * np.pi * 40 * t)
+        + 0.2 * np.sin(2 * np.pi * 9800 * t)
+        + 0.2 * rng.standard_normal(n)
+    )
+    return (x / np.max(np.abs(x))).astype(np.float32)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from dsp_audio_project_tpu import (
+        AudioPipeline, EQConfig, PipelineConfig, SRCConfig,
+    )
+    from dsp_audio_project_tpu.oracle import pipeline_oracle, snr_db
+
+    n = int(SECONDS * FS)
+    x = make_signal(n, FS)
+    cfg = PipelineConfig(
+        src=SRCConfig(L=160, M=147), eq=EQConfig.from_gains(GAINS)
+    )
+    pipe = AudioPipeline(cfg)
+    fn = pipe.jit_forward()
+    xd = jax.device_put(jnp.asarray(x))
+
+    log(f"device: {jax.devices()[0]}")
+
+    # Compile + warmup.
+    t0 = time.perf_counter()
+    z, y = fn(xd, FS)
+    z.block_until_ready()
+    log(f"compile+first-run: {time.perf_counter() - t0:.2f}s")
+
+    # Timed runs.
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        z, y = fn(xd, FS)
+    z.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    sps = n / dt
+    log(f"tpu chain: {dt*1e3:.2f} ms / {SECONDS:.0f}s audio "
+        f"-> {sps/1e6:.1f} M samples/s/chip")
+
+    # Accuracy vs oracle (fft engine: identical math to ~1e-13, tractable).
+    want, fs_want = pipeline_oracle(x, FS, cfg.src, cfg.eq, engine="fast")
+    q = snr_db(want, np.asarray(z))
+    log(f"output snr vs reference oracle: {q:.1f} dB (gate 60)")
+
+    # Reference-algorithm baseline on host CPU.  The reference's direct
+    # full-rate convolution is O(N*L*T) and linear in N, so time a short
+    # window and report per-sample throughput (running it on the full 10 s
+    # would take minutes).
+    n_ref = 4096
+    t0 = time.perf_counter()
+    pipeline_oracle(x[:n_ref], FS, cfg.src, cfg.eq, engine="direct")
+    ref_dt = time.perf_counter() - t0
+    ref_sps = n_ref / ref_dt
+    log(f"reference algorithm (host cpu, {n_ref} samples): {ref_dt*1e3:.1f} ms "
+        f"-> {ref_sps/1e6:.3f} M samples/s")
+
+    print(json.dumps({
+        "metric": "src_eq_chain_input_samples_per_sec_per_chip",
+        "value": round(sps, 1),
+        "unit": "samples/s",
+        "vs_baseline": round(sps / ref_sps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,134 @@
+"""Command-line pipeline driver.
+
+The reference's only entry point is a Streamlit app (app.py); this CLI covers
+the same processing surface — SRC factors, six EQ gains, optional 15 s center
+window, WAV out, spectrum dump — as a library-backed batch tool:
+
+    python -m dsp_audio_project_tpu.cli in.wav out.wav \\
+        --expand 160 --decimate 147 --gain Bass=6 --gain Presence=-4
+
+Widget bounds from the reference UI (L, M in [1, 8]; gains in [-15, 15] dB,
+app.py:149-159) are enforced by default; --no-ui-bounds lifts them (the math
+supports any factors).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+from .config import (
+    DEFAULT_BAND_NAMES,
+    GAIN_DB_MAX,
+    GAIN_DB_MIN,
+    SRC_FACTOR_MAX,
+    SRC_FACTOR_MIN,
+    EQConfig,
+    PipelineConfig,
+    SpectrumConfig,
+    SRCConfig,
+)
+from .io.signal_io import export_wav, load_signal
+from .models.chain import AudioPipeline
+
+
+def _parse_gain(text: str):
+    name, _, value = text.partition("=")
+    name = name.strip()
+    if name not in DEFAULT_BAND_NAMES:
+        raise argparse.ArgumentTypeError(
+            f"unknown band {name!r}; expected one of {DEFAULT_BAND_NAMES}"
+        )
+    return name, float(value)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="dsp_audio_project_tpu",
+        description="TPU audio pipeline: sample-rate conversion + 6-band EQ",
+    )
+    p.add_argument("input", help="input WAV path")
+    p.add_argument("output", nargs="?", help="output WAV path")
+    p.add_argument("--expand", "-L", type=int, default=1, help="upsampling factor L")
+    p.add_argument("--decimate", "-M", type=int, default=1, help="downsampling factor M")
+    p.add_argument(
+        "--gain", "-g", action="append", type=_parse_gain, default=[],
+        metavar="BAND=DB", help="EQ band gain, e.g. 'Bass=6' (repeatable)",
+    )
+    p.add_argument(
+        "--window-seconds", type=float, default=None,
+        help="analyze only a centered window of this many seconds "
+             "(reference's 15 s analysis window, app.py:137-145)",
+    )
+    p.add_argument(
+        "--spectra", metavar="JSON_PATH",
+        help="write input/resampled/output magnitude spectra as JSON",
+    )
+    p.add_argument(
+        "--no-ui-bounds", action="store_true",
+        help="lift the reference UI's L,M<=8 and |gain|<=15 dB bounds",
+    )
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if not args.no_ui_bounds:
+        for v, what in ((args.expand, "L"), (args.decimate, "M")):
+            if not SRC_FACTOR_MIN <= v <= SRC_FACTOR_MAX:
+                print(
+                    f"error: {what}={v} outside UI bounds "
+                    f"[{SRC_FACTOR_MIN},{SRC_FACTOR_MAX}] "
+                    "(use --no-ui-bounds to lift)",
+                    file=sys.stderr,
+                )
+                return 2
+        for name, g in args.gain:
+            if not GAIN_DB_MIN <= g <= GAIN_DB_MAX:
+                print(
+                    f"error: gain {name}={g} outside [{GAIN_DB_MIN},{GAIN_DB_MAX}] dB",
+                    file=sys.stderr,
+                )
+                return 2
+
+    x, fs = load_signal(args.input)
+    if args.window_seconds:
+        n_win = int(args.window_seconds * fs)
+        center = len(x) // 2
+        start = max(0, center - n_win // 2)
+        x = x[start : min(len(x), start + n_win)]
+
+    cfg = PipelineConfig(
+        src=SRCConfig(L=args.expand, M=args.decimate),
+        eq=EQConfig.from_gains(dict(args.gain)),
+    )
+    pipe = AudioPipeline(cfg)
+    out = pipe(x, fs, with_spectra=bool(args.spectra))
+
+    print(
+        f"{args.input}: {len(x)} samples @ {fs} Hz -> "
+        f"{out.output.shape[-1]} samples @ {out.fs_out} Hz "
+        f"(L={args.expand}, M={args.decimate}, "
+        f"eq={'on' if not cfg.eq.bypass else 'bypass'})"
+    )
+
+    if args.output:
+        export_wav(np.asarray(out.output), out.fs_out, args.output)
+        print(f"wrote {args.output}")
+
+    if args.spectra:
+        payload = {
+            key: {"freqs_hz": f.tolist(), "magnitude": np.asarray(m).tolist()}
+            for key, (f, m) in out.spectra.items()
+        }
+        with open(args.spectra, "w") as fh:
+            json.dump(payload, fh)
+        print(f"wrote {args.spectra}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

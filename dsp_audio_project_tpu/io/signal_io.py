@@ -1,0 +1,81 @@
+"""Host-side signal conditioning: the framework's L1 (I/O) layer.
+
+Reproduces the reference's load contract (dsp_core.py:10-35) and output stage
+(app.py:346-358), then hands sharded device arrays to the compute layers.
+"""
+from __future__ import annotations
+
+import io as _io
+from typing import BinaryIO, Optional, Tuple, Union
+
+import numpy as np
+
+from .wavio import read_wav, write_wav
+
+_FALLBACK_LEN = 100
+_FALLBACK_FS = 44100
+_PEAK_GUARD = 1e-6
+
+
+def load_signal(
+    src: Union[str, bytes, BinaryIO],
+    *,
+    mono: bool = True,
+) -> Tuple[np.ndarray, int]:
+    """Decode audio into a conditioned discrete-time signal.
+
+    Contract (reference dsp_core.py:10-35):
+      1. decode to float samples,
+      2. stereo -> mono by channel mean (before the float32 cast),
+      3. cast float32,
+      4. peak-normalize to |x| <= 1 when the peak exceeds 1e-6,
+      5. on ANY decode failure return 100 zero samples at 44.1 kHz.
+
+    With ``mono=False`` the same conditioning is applied per-file with the
+    channel axis preserved, shape ``(C, N)`` — the layout the sharded pipeline
+    expects (channels leading so the mesh 'channel' axis shards dim 0).
+    """
+    try:
+        x, fs = read_wav(src)
+        if mono:
+            if x.ndim > 1:
+                x = x.mean(axis=1)
+            x = x.astype(np.float32)
+        else:
+            if x.ndim == 1:
+                x = x[:, None]
+            x = np.ascontiguousarray(x.T).astype(np.float32)  # (C, N)
+        peak = np.max(np.abs(x)) if x.size else 0.0
+        if peak > _PEAK_GUARD:
+            x = x / peak
+        return x, int(fs)
+    except Exception:
+        shape = (_FALLBACK_LEN,) if mono else (1, _FALLBACK_LEN)
+        return np.zeros(shape, dtype=np.float32), _FALLBACK_FS
+
+
+def export_wav(
+    samples: np.ndarray,
+    fs: int,
+    dst: Optional[Union[str, BinaryIO]] = None,
+) -> Optional[bytes]:
+    """Finalize a processed signal into an int16 WAV.
+
+    Contract (reference app.py:349-354): NaN-scrub, peak-normalize when the
+    peak is positive, scale by 32767 and truncate to int16.
+
+    If ``dst`` is None the encoded bytes are returned.
+    """
+    y = np.nan_to_num(np.asarray(samples, dtype=np.float64))
+    if y.ndim == 2:  # (C, N) -> (N, C) interleaved
+        y = y.T
+    peak = np.max(np.abs(y)) if y.size else 0.0
+    if peak > 0:
+        y = y / peak
+    pcm = (y * 32767).astype(np.int16)
+    if dst is None:
+        buf = _io.BytesIO()
+        write_wav(buf, fs, pcm)
+        return buf.getvalue()
+    write_wav(dst, fs, pcm)
+    return None

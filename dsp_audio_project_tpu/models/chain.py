@@ -1,0 +1,75 @@
+"""The flagship pipeline model: x --SRC--> y --EQ--> z (+ analysis spectra).
+
+This is the framework's equivalent of the reference's processing cascade
+(app.py:162-167) plus its spectrum fan-out (app.py:203-205): one jittable,
+shardable function per static configuration.  SRC changes the sample rate,
+the EQ runs at the *output* rate, and the FFT is analysis-only — the layer
+boundary the reference fixes (SURVEY.md §1).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import PipelineConfig
+from ..ops.eq import equalize
+from ..ops.spectrum import magnitude_spectrum
+from ..ops.src import resample
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineOutputs:
+    """Device results of one pipeline invocation."""
+
+    output: jnp.ndarray          # z[n] at the output rate
+    resampled: jnp.ndarray       # y[n], the SRC intermediate
+    fs_out: int
+    spectra: Optional[Dict[str, Tuple[np.ndarray, jnp.ndarray]]] = None
+
+
+class AudioPipeline:
+    """Configured SRC->EQ chain, jit-compiled per (config, input length).
+
+    Usage:
+        pipe = AudioPipeline(PipelineConfig(src=SRCConfig(L=160, M=147),
+                                            eq=EQConfig.from_gains({"Bass": 6})))
+        out = pipe(x, fs)          # x: (..., N) float32 on host or device
+    """
+
+    def __init__(self, config: PipelineConfig = PipelineConfig()):
+        self.config = config
+        # fs is static: it feeds filter design and rate arithmetic on host.
+        self._jitted = jax.jit(self._forward, static_argnums=(1,))
+
+    def _forward(self, x: jnp.ndarray, fs: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        cfg = self.config
+        y, fs_out = resample(x, fs, cfg.src)
+        z = equalize(y, fs_out, cfg.eq, block=cfg.kernels.iir_block)
+        return z, y
+
+    def output_rate(self, fs: int) -> int:
+        return self.config.src.output_rate(fs)
+
+    def __call__(
+        self, x, fs: int, *, with_spectra: bool = False
+    ) -> PipelineOutputs:
+        x = jnp.asarray(x, dtype=jnp.float32)
+        fs_out = self.output_rate(fs)
+        z, y = self._jitted(x, fs)
+        spectra = None
+        if with_spectra:
+            scfg = self.config.spectrum
+            spectra = {
+                "input": magnitude_spectrum(x, fs, scfg),
+                "resampled": magnitude_spectrum(y, fs_out, scfg),
+                "output": magnitude_spectrum(z, fs_out, scfg),
+            }
+        return PipelineOutputs(output=z, resampled=y, fs_out=fs_out, spectra=spectra)
+
+    def jit_forward(self):
+        """The raw jitted (x, fs) -> (z, y) function (for benchmarking)."""
+        return self._jitted

@@ -1,0 +1,252 @@
+"""6-band biquad EQ as a block-parallel state-space recurrence.
+
+The reference applies each active band through ``scipy.signal.lfilter`` — a
+strictly sequential per-sample recurrence — six times in series
+(dsp_core.py:216-254).  A sample-sequential loop is the single worst program
+shape for a TPU, so the cascade is restructured:
+
+1.  **Design time (host, float64).**  The active bands (after the reference's
+    bypass/Nyquist-clamp rules, encoded in ``EQConfig.active_bands``) are
+    composed into ONE order-2*n_bands state-space system
+        s[n] = A s[n-1] + B x[n],   y[n] = C s[n-1] + D x[n]
+    (``design.biquad``), so the six serial passes become one.
+
+2.  **Block parallelism (device).**  The signal is cut into K blocks of
+    ``block`` samples.  Every block runs the recurrence from a ZERO initial
+    state simultaneously — vectorized across the K lanes, the VPU's natural
+    axis — producing provisional outputs y0 and per-block end states e_k.
+
+3.  **Carry fix-up.**  True block-initial states obey the *block-level*
+    recurrence sigma_{k+1} = A^block sigma_k + e_k, solved with a log-depth
+    associative scan over K tiny (d,d)+(d,) elements.  Because A^block is
+    strongly contracting for audio-rate poles, this scan is well-conditioned
+    where a naive per-sample companion-matrix scan is not (SURVEY.md §7
+    "hard parts" #1).
+
+4.  **Correction.**  y[k, j] += (C A^j) sigma_k — one (K,d) x (d,block)
+    matmul on the MXU, using host-precomputed correction rows.
+
+The result equals the sequential recurrence to float32 rounding (no
+associative-scan-over-samples cancellation), and every stage is a large,
+static-shaped, fusable XLA op.  Final hard clip to [-1, 1] per
+dsp_core.py:254; whole-EQ bypass returns the input untouched *and unclipped*
+per dsp_core.py:222-223.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import EQConfig
+from ..utils.precision import einsum_f32, matmul_f32, matvec_f32, vecmat_f32
+from ..design.biquad import (
+    schur_form,
+    BlockOperators,
+    block_operators,
+    cascade_state_space,
+    peaking_coeffs,
+)
+
+
+@functools.lru_cache(maxsize=None)
+def make_block_operators(
+    bands: Tuple[Tuple[float, float], ...], fs: int, q: float, block: int
+) -> BlockOperators:
+    """Compose active (fc, gain_db) bands at rate fs into block operators."""
+    sections = [peaking_coeffs(fc, fs, gain, q) for fc, gain in bands]
+    ss = schur_form(cascade_state_space(sections))
+    return block_operators(ss, block)
+
+
+def _block_recurrence(
+    xb: jnp.ndarray, ops: BlockOperators
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Zero-init recurrence on (..., K, block) blocks.
+
+    Returns (y0, end_states): provisional outputs (..., K, block) and the
+    per-block final states (..., K, d).
+    """
+    d = ops.A.shape[0]
+    A = jnp.asarray(ops.A.T, dtype=jnp.float32)  # used as s @ A.T
+    B = jnp.asarray(ops.B, dtype=jnp.float32)
+    C_col = jnp.asarray(ops.C[:, None], dtype=jnp.float32)
+    D = jnp.float32(ops.D)
+
+    lead = xb.shape[:-1]
+    s0 = jnp.zeros(lead + (d,), dtype=jnp.float32)
+
+    def step(s, x_j):
+        # y[j] = C s[j-1] + D x[j]; s[j] = A s[j-1] + B x[j]
+        y = vecmat_f32(s, C_col)[..., 0] + D * x_j
+        s_next = vecmat_f32(s, A) + x_j[..., None] * B
+        return s_next, y
+
+    # scan over the in-block sample axis: move it to front.
+    x_t = jnp.moveaxis(xb, -1, 0)  # (block, ..., K)
+    s_end, y_t = jax.lax.scan(step, s0, x_t)
+    y0 = jnp.moveaxis(y_t, 0, -1)  # (..., K, block)
+    return y0, s_end
+
+
+def _carry_states(
+    end_states: jnp.ndarray,
+    ops: BlockOperators,
+    sigma0: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """True initial state per block via log-depth scan over the K axis.
+
+    sigma_0 = sigma0 (zero by default);  sigma_{k+1} = A^block sigma_k + e_k.
+    Elements are (M_k, v_k) pairs under (M2,v2)o(M1,v1) = (M2 M1, M2 v1 + v2).
+    Prepending the element (I, sigma0) and scanning inclusively over
+    [(I, sigma0), (A^block, e_0), ..., (A^block, e_{K-2})] yields sigma_k at
+    position k directly — which is also how a shard's incoming carry state
+    enters the sharded pipeline.
+    """
+    d = end_states.shape[-1]
+    k_axis = end_states.ndim - 2
+    K = end_states.shape[k_axis]
+    A_blk = jnp.asarray(ops.state_corr, dtype=jnp.float32)
+    if sigma0 is None:
+        sigma0 = jnp.zeros(end_states.shape[:-2] + (d,), dtype=jnp.float32)
+
+    head_mat = jnp.broadcast_to(
+        jnp.eye(d, dtype=jnp.float32), end_states.shape[:-2] + (1, d, d)
+    )
+    tail_mats = jnp.broadcast_to(
+        A_blk, end_states.shape[:-2] + (K - 1, d, d)
+    )
+    mats = jnp.concatenate([head_mat, tail_mats], axis=k_axis)
+    vecs = jnp.concatenate(
+        [sigma0[..., None, :], jax.lax.slice_in_dim(end_states, 0, K - 1, axis=k_axis)],
+        axis=k_axis,
+    )
+
+    def combine(left, right):
+        m1, v1 = left
+        m2, v2 = right
+        return matmul_f32(m2, m1), matvec_f32(m2, v1) + v2
+
+    _, sig = jax.lax.associative_scan(combine, (mats, vecs), axis=k_axis)
+    return sig
+
+
+@functools.partial(jax.jit, static_argnames=('fs', 'cfg', 'block'))
+def equalize(x: jnp.ndarray, fs: int, cfg: EQConfig, block: int = 1024) -> jnp.ndarray:
+    """Apply the EQ cascade to (..., N) float32 signals.
+
+    Matches the golden oracle (sequential lfilter cascade) to float32
+    rounding; see tests/test_eq.py for the SNR gate.  Jit-compiled per
+    (fs, config, block, shape).
+    """
+    if cfg.bypass:
+        return x
+    bands = cfg.active_bands(fs)
+    if not bands:
+        # Active request but every band clamped away: reference still clips.
+        return jnp.clip(x, -1.0, 1.0)
+    ops = make_block_operators(bands, int(fs), cfg.q, block)
+    y = _equalize_blocks(x.astype(jnp.float32), ops)
+    return jnp.clip(y, -1.0, 1.0)
+
+
+def _equalize_blocks(
+    x: jnp.ndarray,
+    ops: BlockOperators,
+    sigma0: jnp.ndarray | None = None,
+    with_state: bool = False,
+):
+    """Block-parallel recurrence over (..., N).
+
+    ``sigma0``: optional incoming state (..., d) — a shard's carry.
+    ``with_state``: also return the state after sample N.  Requires N to be a
+    multiple of ``ops.block`` (zero-pad blocks would corrupt the carry);
+    callers in the sharded path align shard lengths accordingly.
+    """
+    n = x.shape[-1]
+    block = ops.block
+    K = -(-n // block)
+    pad = K * block - n
+    if with_state and pad:
+        raise ValueError(
+            f"state carry requires length {n} to be a multiple of block {block}"
+        )
+    xb = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    xb = xb.reshape(x.shape[:-1] + (K, block))
+
+    y0, end_states = _block_recurrence(xb, ops)
+    sigma = _carry_states(end_states, ops, sigma0)  # (..., K, d)
+    corr = jnp.asarray(ops.corr.T, dtype=jnp.float32)  # (d, block)
+    y = y0 + einsum_f32("...kd,db->...kb", sigma, corr)
+    y = y.reshape(x.shape[:-1] + (K * block,))[..., :n]
+    if not with_state:
+        return y
+    A_blk = jnp.asarray(ops.state_corr, dtype=jnp.float32)
+    s_end = matvec_f32(A_blk, sigma[..., -1, :]) + end_states[..., -1, :]
+    return y, s_end
+
+
+@functools.partial(jax.jit, static_argnames=('fs', 'cfg', 'block'))
+def equalize_stream(
+    x: jnp.ndarray,
+    fs: int,
+    cfg: EQConfig,
+    state: jnp.ndarray | None = None,
+    block: int = 1024,
+):
+    """Streaming EQ: process a chunk, return (y, carry_state).
+
+    Feeding chunks of any sizes through this function produces the same
+    samples as one ``equalize`` call on the concatenation — the carry is the
+    cascade's full internal state (2 values per active band), which together
+    with a stream offset makes long-form processing checkpointable/resumable
+    (SURVEY.md §5).  Note the chunk outputs are clipped per-call exactly like
+    the one-shot path clips once; clipping is memoryless so the results agree.
+
+    The carry lives in the (Schur) realization basis of this config — treat
+    it as opaque: serialize and hand it back, don't interpret it.
+    """
+    if cfg.bypass:
+        return x, jnp.zeros(x.shape[:-1] + (0,), dtype=jnp.float32)
+    bands = cfg.active_bands(fs)
+    if not bands:
+        return jnp.clip(x, -1.0, 1.0), jnp.zeros(
+            x.shape[:-1] + (0,), dtype=jnp.float32
+        )
+    ops = make_block_operators(bands, int(fs), cfg.q, block)
+    d = ops.A.shape[0]
+    if state is None:
+        state = jnp.zeros(x.shape[:-1] + (d,), dtype=jnp.float32)
+    x = x.astype(jnp.float32)
+    n = x.shape[-1]
+    K_full = n // block
+    y_parts = []
+    if K_full:
+        head = x[..., : K_full * block]
+        y_head, state = _equalize_blocks(head, ops, sigma0=state, with_state=True)
+        y_parts.append(y_head)
+    tail = x[..., K_full * block :]
+    if tail.shape[-1]:
+        # Ragged remainder: exact sequential propagation (short by design).
+        A = jnp.asarray(ops.A.T, dtype=jnp.float32)
+        B = jnp.asarray(ops.B, dtype=jnp.float32)
+        C = jnp.asarray(ops.C, dtype=jnp.float32)
+        D = jnp.float32(ops.D)
+
+        def step(s, x_j):
+            y = vecmat_f32(s, C[:, None])[..., 0] + D * x_j
+            return vecmat_f32(s, A) + x_j[..., None] * B, y
+
+        state, y_t = jax.lax.scan(step, state, jnp.moveaxis(tail, -1, 0))
+        y_parts.append(jnp.moveaxis(y_t, 0, -1))
+    y = y_parts[0] if len(y_parts) == 1 else jnp.concatenate(y_parts, axis=-1)
+    return jnp.clip(y, -1.0, 1.0), state
+
+
+def final_state(x: jnp.ndarray, fs: int, cfg: EQConfig, block: int = 1024):
+    """End state of the cascade after consuming ``x`` (see equalize_stream)."""
+    _, s = equalize_stream(x, fs, cfg, None, block)
+    return s

@@ -1,0 +1,95 @@
+"""Windowed magnitude-spectrum analysis ops.
+
+Reproduces the reference's two analysis views:
+  * ``magnitude_spectrum`` — the primary view (dsp_core.py:68-98): center
+    segment (or zero-pad to the next power of two), symmetric Hann window,
+    |FFT| over the first N//2+1 bins with an rfftfreq axis.
+  * ``angular_spectrum``  — the "textbook" two-sided view (app.py:308-327):
+    1024-point fftshifted spectrum over [-pi, pi).
+
+Both are analysis-only (never in the audio path, SURVEY.md §1) and batch over
+leading dims — on a sharded pipeline each (channel, time-block) computes its
+spectrum independently with zero cross-device traffic.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SpectrumConfig
+from .fft import fft as _fft
+from .fft import rfft_magnitude
+
+
+@functools.lru_cache(maxsize=None)
+def _hann(n: int) -> np.ndarray:
+    # Symmetric Hann, exactly the reference's inline form (dsp_core.py:86-87).
+    idx = np.arange(n)
+    return (0.5 - 0.5 * np.cos(2.0 * np.pi * idx / (n - 1))).astype(np.float32)
+
+
+def _segment_bounds(n: int, nfft: int) -> Tuple[int, int]:
+    """Static segment selection (dsp_core.py:74-82)."""
+    if n > nfft:
+        mid = n // 2
+        return mid, nfft
+    return 0, 1 << (n - 1).bit_length()
+
+
+@functools.partial(jax.jit, static_argnames=('start', 'm'))
+def _windowed_rfft_mag(x: jnp.ndarray, start: int, m: int) -> jnp.ndarray:
+    n = x.shape[-1]
+    if m <= n:
+        seg = x[..., start : start + m]
+    else:
+        seg = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, m - n)])
+    seg = seg.astype(jnp.float32) * jnp.asarray(_hann(m))
+    return rfft_magnitude(seg)  # (..., m//2 + 1)
+
+
+def magnitude_spectrum(
+    x: jnp.ndarray, fs: int, cfg: SpectrumConfig = SpectrumConfig()
+) -> Tuple[np.ndarray, jnp.ndarray]:
+    """(freqs, |X[k]|) for (..., N) signals; freqs is a host constant.
+
+    The analysis cap (first ``analysis_limit`` samples, app.py:202) is applied
+    before segmentation, like the app driver does.  The device part is
+    jit-compiled per (shape, segment) — eager dispatch of the unrolled FFT
+    stages is pathological on remote TPU backends.
+    """
+    n = x.shape[-1]
+    if cfg.analysis_limit and n > cfg.analysis_limit:
+        x = x[..., : cfg.analysis_limit]
+        n = cfg.analysis_limit
+    start, m = _segment_bounds(n, cfg.nfft)
+    mag = _windowed_rfft_mag(x, start, m)
+    freqs = np.fft.rfftfreq(m, d=1.0 / fs)
+    return freqs, mag
+
+
+@jax.jit
+def _angular_mag(segment: jnp.ndarray) -> jnp.ndarray:
+    m = segment.shape[-1]
+    spec = jnp.abs(_fft(segment))
+    return jnp.roll(spec, m // 2, axis=-1)
+
+
+def angular_spectrum(segment: jnp.ndarray) -> Tuple[np.ndarray, jnp.ndarray]:
+    """Two-sided fftshifted magnitude over [-pi, pi) (app.py:322-327).
+
+    ``segment`` is (..., nfft) with nfft a power of two; returns the
+    normalized-frequency axis (host constant) and |fftshift(FFT(segment))|.
+    """
+    m = segment.shape[-1]
+    w_axis = np.linspace(-np.pi, np.pi, m)
+    return w_axis, _angular_mag(segment)
+
+
+def spectrum_db(mag: jnp.ndarray, floor: float = 1e-12) -> jnp.ndarray:
+    """dB conversion used by the app's frequency view (app.py:208-210)."""
+    return 20.0 * jnp.log10(mag + floor)

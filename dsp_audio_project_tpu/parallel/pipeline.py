@@ -1,0 +1,241 @@
+"""Sharded SRC -> EQ pipeline over a (channel, block) mesh.
+
+This is the centerpiece of the TPU build (SURVEY.md §5 "long-context"): the
+reference processes a whole signal in one serial pass on one CPU
+(app.py:162-167); here multichannel long-form audio shards across devices
+with two — and only two — cross-device exchanges per step:
+
+  1. **FIR halo (overlap-save).**  Each time-shard's polyphase frames read a
+     few edge samples owned by its neighbors (left: max(0,-lo), right:
+     max(0, W+lo-s) — ~20 samples for the 44.1k->48k plan).  Exchanged with
+     `jax.lax.ppermute` shift-by-one; edge devices receive zeros, which is
+     exactly numpy's 'same' zero extension, so sharding is bit-consistent
+     with the unsharded op.
+
+  2. **IIR carry.**  Each shard runs the block-parallel EQ from a zero
+     state, exposing its local end state e_d (2 states per band — tiny).
+     One `all_gather` over 'block' plus a host-precomputed weight tensor
+     W[dst, src] = A^{(dst-1-src)*Nl_out} reconstructs every shard's true
+     incoming state sigma_d = sum_{i<d} W e_i, and the standard block
+     correction applies it locally.  No sequential chain ever crosses the
+     mesh.
+
+Geometry is host-side and static: shard lengths are rounded so each device
+owns an integral number of polyphase frames AND an integral number of IIR
+blocks; global zero-padding is cropped after gather (harmless: 'same'
+zero-extension + causal IIR ⇒ prefix-exact).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import EQConfig, PipelineConfig, SRCConfig
+from ..design.biquad import BlockOperators
+from ..ops import eq as eq_ops
+from ..ops import src as src_ops
+from .mesh import BLOCK_AXIS, CHANNEL_AXIS
+from ..utils.precision import einsum_f32
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardPlan:
+    """Static geometry for one (config, input shape, mesh shape)."""
+
+    n: int                 # true input length
+    n_out: int             # true output length
+    c: int                 # true channel count
+    c_pad: int             # padded channel count (multiple of mesh channel dim)
+    n_in_local: int        # input samples per block-shard
+    n_out_local: int       # output samples per block-shard
+    frames_local: int      # polyphase frames per shard
+    halo_left: int
+    halo_right: int
+    iir_block: int         # IIR block length used inside shards
+
+
+def _plan_shards(
+    n: int, c: int, mesh_channel: int, mesh_block: int,
+    src_cfg: SRCConfig, iir_block_hint: int,
+) -> Tuple[ShardPlan, src_ops.PolyphasePlan]:
+    plan = src_ops.make_plan(src_cfg.L, src_cfg.M, src_cfg.taps_rule_factor)
+    s, Pcls = plan.s, plan.P
+
+    # Frames per IIR block (IIR blocks must tile the per-shard output).
+    fpb = max(1, -(-iir_block_hint // Pcls))
+    iir_block = fpb * Pcls
+
+    frames_total = -(-n // (s * mesh_block * fpb)) * fpb * mesh_block
+    frames_local = frames_total // mesh_block
+    n_in_local = frames_local * s
+    n_out_local = frames_local * Pcls
+
+    halo_left = plan.halo_left
+    halo_right = plan.halo_right
+    if max(halo_left, halo_right) > n_in_local and mesh_block > 1:
+        raise ValueError(
+            f"shard too small for filter halo: local={n_in_local}, "
+            f"halo=({halo_left},{halo_right})"
+        )
+    c_pad = -(-c // mesh_channel) * mesh_channel
+    sp = ShardPlan(
+        n=n,
+        n_out=src_cfg.output_length(n),
+        c=c,
+        c_pad=c_pad,
+        n_in_local=n_in_local,
+        n_out_local=n_out_local,
+        frames_local=frames_local,
+        halo_left=halo_left,
+        halo_right=halo_right,
+        iir_block=iir_block,
+    )
+    return sp, plan
+
+
+def _local_resample(
+    x_loc: jnp.ndarray, plan: src_ops.PolyphasePlan, sp: ShardPlan
+) -> jnp.ndarray:
+    """Shard-local polyphase frames matmul with ppermute halo exchange."""
+    hl, hr = sp.halo_left, sp.halo_right
+    nb = jax.lax.axis_size(BLOCK_AXIS)
+    parts = [x_loc]
+    if hl:
+        left = jax.lax.ppermute(
+            x_loc[..., -hl:], BLOCK_AXIS,
+            [(i, i + 1) for i in range(nb - 1)],
+        )
+        parts.insert(0, left)
+    if hr:
+        right = jax.lax.ppermute(
+            x_loc[..., :hr], BLOCK_AXIS,
+            [(i + 1, i) for i in range(nb - 1)],
+        )
+        parts.append(right)
+    x_ext = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else x_loc
+
+    k = np.arange(sp.frames_local, dtype=np.int32)[:, None]
+    w = np.arange(plan.W, dtype=np.int32)[None, :]
+    idx = jnp.asarray(k * plan.s + w + (plan.lo + hl))
+    frames = jnp.take(x_ext, idx, axis=-1)  # (..., K, W)
+    g_mat = jnp.asarray(plan.G, dtype=jnp.float32)
+    classes = einsum_f32("...kw,wp->...kp", frames, g_mat)
+    return classes.reshape(x_loc.shape[:-1] + (sp.n_out_local,))
+
+
+def _cross_shard_sigma(
+    e_loc: jnp.ndarray, ops: BlockOperators, n_out_local: int
+) -> jnp.ndarray:
+    """Incoming IIR state for this shard from every shard's local end state.
+
+    sigma_d = sum_{i<d} A^{(d-1-i)*n_out_local} e_i, evaluated with one
+    all_gather of the tiny (d,)-state and a host-precomputed weight stack.
+    """
+    d = ops.A.shape[0]
+    nb = jax.lax.axis_size(BLOCK_AXIS)
+    my = jax.lax.axis_index(BLOCK_AXIS)
+    # Host: A^{k * n_out_local} for k = 0..nb-1, in float64 then cast.
+    n_blocks = n_out_local // ops.block
+    A_shard = np.linalg.matrix_power(ops.state_corr, n_blocks)  # A^{n_out_local}
+    powers = np.zeros((nb, d, d))
+    acc = np.eye(d)
+    for k_i in range(nb):
+        powers[k_i] = acc
+        acc = acc @ A_shard
+    weights = np.zeros((nb, nb, d, d), dtype=np.float32)
+    for dst in range(nb):
+        for srcd in range(dst):
+            weights[dst, srcd] = powers[dst - 1 - srcd]
+    w_all = jnp.asarray(weights)  # (nb, nb, d, d)
+
+    gathered = jax.lax.all_gather(e_loc, BLOCK_AXIS)  # (nb, ..., d)
+    w_my = jnp.take(w_all, my, axis=0)  # (nb, d, d)
+    return einsum_f32("sij,s...j->...i", w_my, gathered)
+
+
+def build_sharded_pipeline(
+    mesh: Mesh,
+    config: PipelineConfig,
+    fs: int,
+    n: int,
+    channels: int,
+):
+    """Compile a sharded processor for fixed (fs, N, C).
+
+    Returns ``(fn, shard_plan)`` where ``fn(x_padded) -> z_padded`` is jitted
+    over the mesh with x of shape (c_pad, mesh_block * n_in_local); use
+    ``run_sharded`` for the pad/crop wrapping.
+    """
+    mesh_channel = mesh.shape[CHANNEL_AXIS]
+    mesh_block = mesh.shape[BLOCK_AXIS]
+    src_cfg, eq_cfg = config.src, config.eq
+
+    if src_cfg.bypass:
+        # Identity SRC still shards the EQ; reuse the same machinery with a
+        # trivial plan: frames of 1 sample, 1 class.
+        pass
+
+    sp, plan = _plan_shards(
+        n, channels, mesh_channel, mesh_block, src_cfg, config.kernels.iir_block
+    )
+    fs_out = src_cfg.output_rate(fs)
+    bands = eq_cfg.active_bands(fs_out)
+    eq_active = not eq_cfg.bypass and bool(bands)
+    ops = (
+        eq_ops.make_block_operators(bands, int(fs_out), eq_cfg.q, sp.iir_block)
+        if eq_active
+        else None
+    )
+
+    def local_fn(x_loc):
+        # x_loc: (C_local, n_in_local)
+        y_loc = _local_resample(x_loc.astype(jnp.float32), plan, sp)
+        if not eq_active:
+            z_loc = jnp.clip(y_loc, -1.0, 1.0) if not eq_cfg.bypass else y_loc
+            return z_loc, y_loc
+        # Local zero-init end state, then cross-shard carry, then correction.
+        _, e_loc = eq_ops._equalize_blocks(y_loc, ops, with_state=True)
+        sigma = _cross_shard_sigma(e_loc, ops, sp.n_out_local)
+        z_loc, _ = eq_ops._equalize_blocks(y_loc, ops, sigma0=sigma, with_state=True)
+        return jnp.clip(z_loc, -1.0, 1.0), y_loc
+
+    spec = P(CHANNEL_AXIS, BLOCK_AXIS)
+    sharded = shard_map(
+        local_fn, mesh=mesh, in_specs=(spec,), out_specs=(spec, spec),
+        check_vma=False,
+    )
+    return jax.jit(sharded), sp
+
+
+def run_sharded(
+    x: np.ndarray,
+    fs: int,
+    config: PipelineConfig,
+    mesh: Mesh,
+) -> Tuple[jax.Array, jax.Array, int, ShardPlan]:
+    """Pad, shard, process, crop: the host-facing sharded entry point.
+
+    ``x``: (C, N) float32.  Returns (z, y, fs_out, plan) with z cropped to
+    the true (C, n_out).
+    """
+    if x.ndim == 1:
+        x = x[None, :]
+    c, n = x.shape
+    fn, sp = build_sharded_pipeline(mesh, config, fs, n, c)
+    mesh_block = mesh.shape[BLOCK_AXIS]
+    n_padded = sp.n_in_local * mesh_block
+    xp = np.zeros((sp.c_pad, n_padded), dtype=np.float32)
+    xp[:c, :n] = x
+    sharding = NamedSharding(mesh, P(CHANNEL_AXIS, BLOCK_AXIS))
+    xd = jax.device_put(xp, sharding)
+    z, y = fn(xd)
+    fs_out = config.src.output_rate(fs)
+    return z[:c, : sp.n_out], y[:c, : sp.n_out], fs_out, sp

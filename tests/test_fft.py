@@ -1,0 +1,46 @@
+"""Unit tier: FFT kernels vs numpy oracle (SURVEY.md §4)."""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from dsp_audio_project_tpu.ops.fft import fft, ifft, rfft, rfft_magnitude
+
+
+@pytest.mark.parametrize("n", [1, 2, 8, 256, 2048])
+def test_fft_matches_numpy(n, rng):
+    x = rng.standard_normal((3, n)) + 1j * rng.standard_normal((3, n))
+    got = np.asarray(fft(jnp.asarray(x, dtype=jnp.complex64)))
+    want = np.fft.fft(x, axis=-1)
+    scale = max(1.0, np.max(np.abs(want)))
+    assert np.max(np.abs(got - want)) / scale < 1e-5
+
+
+@pytest.mark.parametrize("n", [2, 1024, 2048])
+def test_rfft_matches_numpy(n, rng):
+    x = rng.standard_normal((5, n)).astype(np.float32)
+    got = np.asarray(rfft(jnp.asarray(x)))
+    want = np.fft.rfft(x, axis=-1)
+    assert got.shape == want.shape
+    scale = np.max(np.abs(want))
+    assert np.max(np.abs(got - want)) / scale < 1e-5
+
+
+def test_rfft_magnitude_batched(rng):
+    x = rng.standard_normal((5, 1024)).astype(np.float32)
+    got = np.asarray(rfft_magnitude(jnp.asarray(x)))
+    want = np.abs(np.fft.rfft(x, axis=-1))
+    assert np.max(np.abs(got - want)) / np.max(want) < 1e-5
+
+
+def test_ifft_roundtrip(rng):
+    x = rng.standard_normal((3, 256)) + 1j * rng.standard_normal((3, 256))
+    xj = jnp.asarray(x, dtype=jnp.complex64)
+    back = np.asarray(ifft(fft(xj)))
+    assert np.max(np.abs(back - x)) < 1e-4
+
+
+def test_non_pow2_rejected():
+    # The reference FFT crashes with a broadcast error on non-pow2 input
+    # (SURVEY.md C2); the build rejects cleanly instead.
+    with pytest.raises(ValueError, match="power of two"):
+        fft(jnp.zeros(12, dtype=jnp.complex64))

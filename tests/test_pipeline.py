@@ -1,0 +1,107 @@
+"""End-to-end tier: full SRC->EQ chain + spectra vs the golden oracle.
+
+This is the minimum-slice gate of SURVEY.md §7: one signal through
+SRC -> EQ -> FFT matching the oracle at >= 60 dB on the BASELINE.json
+headline configs.
+"""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from dsp_audio_project_tpu import (
+    AudioPipeline,
+    EQConfig,
+    PipelineConfig,
+    SRCConfig,
+    process,
+)
+from dsp_audio_project_tpu.oracle import (
+    pipeline_oracle,
+    snr_db,
+    spectrum_oracle,
+)
+
+GAINS = {"Sub-Bass": 6, "Bass": -3, "High Mids": 12, "Presence": -15,
+         "Brilliance": 4}
+
+
+def test_full_chain_headline(audio_44k):
+    """BASELINE configs 1-3: 44.1k->48k SRC + 6-band EQ + 2048-pt spectrum."""
+    x, fs = audio_44k
+    cfg = PipelineConfig(
+        src=SRCConfig(L=160, M=147), eq=EQConfig.from_gains(GAINS)
+    )
+    pipe = AudioPipeline(cfg)
+    out = pipe(x, fs, with_spectra=True)
+    assert out.fs_out == 48000
+
+    want_z, _ = pipeline_oracle(x, fs, cfg.src, cfg.eq)
+    z = np.asarray(out.output)
+    assert z.shape == want_z.shape == (48000,)
+    assert snr_db(want_z, z) > 60.0
+
+    # Spectrum of the chain output matches the oracle spectrum of the
+    # oracle output (full-stack parity, app.py:203-205 semantics).
+    fw, mw = spectrum_oracle(want_z[:100000], 48000)
+    fg, mg = out.spectra["output"]
+    np.testing.assert_allclose(fg, fw)
+    # mixed error: op fft (1e-5ish) + chain SNR; compare in dB-energy terms
+    assert snr_db(mw, np.asarray(mg)) > 40.0
+
+
+def test_process_convenience(audio_short):
+    x, fs = audio_short
+    z, fs_out = process(x, fs)
+    # default config: L=M=1 bypass + flat EQ bypass -> identity
+    assert fs_out == fs
+    np.testing.assert_array_equal(np.asarray(z), x)
+
+
+def test_chain_src_only(audio_short):
+    x, fs = audio_short
+    cfg = PipelineConfig(src=SRCConfig(L=2, M=3))
+    z, fs_out = process(x, fs, cfg)
+    want, fs_want = pipeline_oracle(x, fs, cfg.src, cfg.eq)
+    assert fs_out == fs_want
+    assert snr_db(want, np.asarray(z)) > 60.0
+
+
+def test_chain_eq_only(audio_short):
+    x, fs = audio_short
+    cfg = PipelineConfig(eq=EQConfig.from_gains({"Low Mids": 8}))
+    z, fs_out = process(x, fs, cfg)
+    want, _ = pipeline_oracle(x, fs, cfg.src, cfg.eq)
+    assert fs_out == fs
+    assert snr_db(want, np.asarray(z)) > 60.0
+
+
+def test_chain_batched_channels(audio_short):
+    x, fs = audio_short
+    xs = np.stack([x, 0.3 * x, -x])
+    cfg = PipelineConfig(src=SRCConfig(L=3, M=4),
+                         eq=EQConfig.from_gains({"Bass": 5}))
+    pipe = AudioPipeline(cfg)
+    out = pipe(xs, fs)
+    z = np.asarray(out.output)
+    for c in range(3):
+        want, _ = pipeline_oracle(xs[c], fs, cfg.src, cfg.eq)
+        assert snr_db(want, z[c]) > 60.0
+
+
+def test_wav_roundtrip_through_chain(tmp_path, audio_short):
+    """I/O + chain: load -> process -> export, reference conventions end-to-end."""
+    from dsp_audio_project_tpu import export_wav, load_signal, read_wav
+    from dsp_audio_project_tpu.io.wavio import write_wav
+
+    x, fs = audio_short
+    p = str(tmp_path / "in.wav")
+    write_wav(p, fs, (x * 32767).astype(np.int16))
+    sig, fs_in = load_signal(p)
+    cfg = PipelineConfig(src=SRCConfig(L=1, M=2),
+                         eq=EQConfig.from_gains({"Presence": -6}))
+    z, fs_out = process(sig, fs_in, cfg)
+    data = export_wav(np.asarray(z), fs_out)
+    y, fs_read = read_wav(data)
+    assert fs_read == fs_out == fs // 2
+    assert len(y) == len(z)
+    assert np.max(np.abs(y)) <= 1.0

@@ -1,0 +1,46 @@
+"""Unit tier: spectrum op vs golden oracle."""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from dsp_audio_project_tpu import SpectrumConfig, magnitude_spectrum, angular_spectrum
+from dsp_audio_project_tpu.oracle import spectrum_oracle
+
+
+@pytest.mark.parametrize("n", [100, 1000, 2048, 5000, 150000])
+def test_magnitude_spectrum(n, rng):
+    fs = 44100
+    x = rng.standard_normal(n).astype(np.float32)
+    fw, mw = spectrum_oracle(x[: min(n, 100000)], fs)
+    fg, mg = magnitude_spectrum(jnp.asarray(x), fs)
+    mg = np.asarray(mg)
+    np.testing.assert_allclose(fg, fw)
+    assert mg.shape == mw.shape
+    assert np.max(np.abs(mg - mw)) / max(np.max(mw), 1e-9) < 1e-4
+
+
+def test_magnitude_spectrum_bin_counts(rng):
+    # 1025 bins for long signals (2048-pt window); 513 for 1000 -> padded 1024.
+    fs = 44100
+    f1, m1 = magnitude_spectrum(jnp.asarray(rng.standard_normal(5000).astype(np.float32)), fs)
+    assert m1.shape[-1] == 1025 and len(f1) == 1025
+    f2, m2 = magnitude_spectrum(jnp.asarray(rng.standard_normal(1000).astype(np.float32)), fs)
+    assert m2.shape[-1] == 513 and len(f2) == 513
+
+
+def test_magnitude_spectrum_batched(rng):
+    fs = 48000
+    x = rng.standard_normal((5, 8192)).astype(np.float32)
+    _, mg = magnitude_spectrum(jnp.asarray(x), fs)
+    mg = np.asarray(mg)
+    for c in range(5):
+        _, mw = spectrum_oracle(x[c], fs)
+        assert np.max(np.abs(mg[c] - mw)) / np.max(mw) < 1e-4
+
+
+def test_angular_spectrum(rng):
+    x = rng.standard_normal(1024).astype(np.float32)
+    w, mag = angular_spectrum(jnp.asarray(x))
+    want = np.abs(np.fft.fftshift(np.fft.fft(x)))
+    assert w[0] == -np.pi and w[-1] == np.pi
+    assert np.max(np.abs(np.asarray(mag) - want)) / np.max(want) < 1e-5
