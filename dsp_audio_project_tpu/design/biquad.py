@@ -120,7 +120,7 @@ def schur_form(ss: StateSpace) -> StateSpace:
     return StateSpace(A=T, B=Q.T @ ss.B, C=ss.C @ Q, D=ss.D)
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, eq=False)
 class BlockOperators:
     """Precomputed operators for the block-parallel IIR recurrence.
 
@@ -130,6 +130,19 @@ class BlockOperators:
         whose true initial state is sigma: y_true[j] = y_zeroinit[j] + corr[j] @ sigma.
       * ``state_corr`` (d, d): A^L — propagates a block's initial state to its
         contribution to the end state: s_end = A^L sigma + s_end_zeroinit.
+
+    Group (unrolled) operators — U consecutive samples advance in ONE set of
+    small matmuls instead of U scan steps (sequential-step overhead on TPU is
+    ~microseconds per step, so shrinking step count B -> B/U is the single
+    biggest IIR latency lever):
+      * ``unroll``  U  (divides ``block``).
+      * ``group_A`` (d, d):  A^U.
+      * ``group_in`` (U, d): row v is (A^{U-1-v} B)^T — state injection.
+      * ``group_out`` (d, U): column u is (C A^u)^T — state readout.
+      * ``group_fir`` (U, U): [u, v] = C A^{u-1-v} B for v < u, D on the
+        diagonal — the within-group input->output (FIR) coupling.
+    Exactness: y[u] = C A^u s + sum_{v<u} C A^{u-1-v} B x_v + D x_u and
+    s' = A^U s + sum_v A^{U-1-v} B x_v are identities of the recurrence.
     """
 
     A: np.ndarray
@@ -139,9 +152,14 @@ class BlockOperators:
     corr: np.ndarray
     state_corr: np.ndarray
     block: int
+    unroll: int
+    group_A: np.ndarray
+    group_in: np.ndarray
+    group_out: np.ndarray
+    group_fir: np.ndarray
 
 
-def block_operators(ss: StateSpace, block: int) -> BlockOperators:
+def block_operators(ss: StateSpace, block: int, unroll: int = 16) -> BlockOperators:
     """Build block operators from the float32-QUANTIZED system.
 
     The device propagates states with float32 A/B/C/D; computing the
@@ -157,9 +175,25 @@ def block_operators(ss: StateSpace, block: int) -> BlockOperators:
     d = ss.order
     corr = np.zeros((block, d))
     Apow = np.eye(d)
+    pows = []  # A^j for j = 0..block
     for j in range(block):
         corr[j] = C32 @ Apow  # C A^j
+        pows.append(Apow)
         Apow = Apow @ A32
+
+    while block % unroll:
+        unroll //= 2
+    U = max(1, unroll)
+    group_A = pows[U] if U < block else Apow
+    group_in = np.stack([pows[U - 1 - v] @ B32 for v in range(U)])  # (U, d)
+    group_out = np.stack([C32 @ pows[u] for u in range(U)], axis=1)  # (d, U)
+    group_fir = np.zeros((U, U))
+    for u in range(U):
+        group_fir[u, u] = D32
+        for v in range(u):
+            group_fir[u, v] = C32 @ pows[u - 1 - v] @ B32
     return BlockOperators(
-        A=A32, B=B32, C=C32, D=D32, corr=corr, state_corr=Apow, block=block
+        A=A32, B=B32, C=C32, D=D32, corr=corr, state_corr=Apow, block=block,
+        unroll=U, group_A=group_A, group_in=group_in, group_out=group_out,
+        group_fir=group_fir,
     )

@@ -71,24 +71,29 @@ def _block_recurrence(
     per-block final states (..., K, d).
     """
     d = ops.A.shape[0]
-    A = jnp.asarray(ops.A.T, dtype=jnp.float32)  # used as s @ A.T
-    B = jnp.asarray(ops.B, dtype=jnp.float32)
-    C_col = jnp.asarray(ops.C[:, None], dtype=jnp.float32)
-    D = jnp.float32(ops.D)
+    U = ops.unroll
+    block = xb.shape[-1]
+    groups = block // U
+    gA = jnp.asarray(ops.group_A.T, dtype=jnp.float32)    # used as s @ A_U^T
+    gIn = jnp.asarray(ops.group_in, dtype=jnp.float32)    # (U, d)
+    gOut = jnp.asarray(ops.group_out, dtype=jnp.float32)  # (d, U)
+    gFir = jnp.asarray(ops.group_fir.T, dtype=jnp.float32)  # (U, U), x @ this
 
     lead = xb.shape[:-1]
     s0 = jnp.zeros(lead + (d,), dtype=jnp.float32)
 
-    def step(s, x_j):
-        # y[j] = C s[j-1] + D x[j]; s[j] = A s[j-1] + B x[j]
-        y = vecmat_f32(s, C_col)[..., 0] + D * x_j
-        s_next = vecmat_f32(s, A) + x_j[..., None] * B
-        return s_next, y
+    def step(s, x_g):
+        # U samples per step: y_g = C A^u s (+ group FIR);  s' = A^U s + inj.
+        y_g = vecmat_f32(s, gOut) + vecmat_f32(x_g, gFir)
+        s_next = vecmat_f32(s, gA) + vecmat_f32(x_g, gIn)
+        return s_next, y_g
 
-    # scan over the in-block sample axis: move it to front.
-    x_t = jnp.moveaxis(xb, -1, 0)  # (block, ..., K)
-    s_end, y_t = jax.lax.scan(step, s0, x_t)
-    y0 = jnp.moveaxis(y_t, 0, -1)  # (..., K, block)
+    # scan over the group axis: move it to front.
+    x_g = jnp.moveaxis(
+        xb.reshape(lead + (groups, U)), -2, 0
+    )  # (groups, ..., K, U)
+    s_end, y_t = jax.lax.scan(step, s0, x_g)
+    y0 = jnp.moveaxis(y_t, 0, -2).reshape(lead + (block,))
     return y0, s_end
 
 

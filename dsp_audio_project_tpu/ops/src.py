@@ -42,7 +42,9 @@ from ..design.sinc import lowpass_sinc
 from ..utils.precision import einsum_f32
 
 
-@dataclasses.dataclass(frozen=True)
+# eq=False: identity hash (instances are lru_cache singletons per config;
+# the ndarray field would otherwise break hashing in downstream caches).
+@dataclasses.dataclass(frozen=True, eq=False)
 class PolyphasePlan:
     """Host-side geometry + operator for one (L, M, taps) configuration.
 

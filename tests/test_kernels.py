@@ -1,0 +1,110 @@
+"""Kernel tier: Pallas kernels vs jnp fallbacks vs golden oracle.
+
+On CPU these run in Pallas interpret mode — same kernel code, Python
+evaluation — which validates indexing/geometry; the TPU compile path is
+exercised by bench.py and the verify flow on hardware.
+"""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from dsp_audio_project_tpu import EQConfig, SRCConfig
+from dsp_audio_project_tpu.design.biquad import BlockOperators
+from dsp_audio_project_tpu.kernels.fir import polyphase_fir
+from dsp_audio_project_tpu.kernels.iir import block_apply, block_end_states
+from dsp_audio_project_tpu.kernels.rfft import rfft_pallas
+from dsp_audio_project_tpu.ops.eq import (
+    _block_recurrence,
+    _carry_states,
+    make_block_operators,
+)
+from dsp_audio_project_tpu.ops.src import make_plan
+from dsp_audio_project_tpu.oracle import resample_oracle, snr_db
+
+from conftest import make_test_signal
+
+
+@pytest.mark.parametrize("L,M", [(3, 2), (2, 3), (160, 147), (1, 4)])
+def test_fir_kernel_matches_oracle(L, M):
+    fs = 44100
+    x = make_test_signal(20000, fs, seed=3)
+    cfg = SRCConfig(L=L, M=M)
+    plan = make_plan(L, M)
+    n_out = cfg.output_length(len(x))
+    got = np.asarray(
+        polyphase_fir(jnp.asarray(x), plan, n_out, interpret=True)
+    )
+    want, _ = resample_oracle(x, fs, cfg, engine="fast")
+    assert got.shape == want.shape
+    assert snr_db(want, got) > 60.0
+
+
+def test_fir_kernel_batched():
+    fs = 48000
+    xs = np.stack([make_test_signal(8192, fs, seed=s) for s in range(3)])
+    cfg = SRCConfig(L=2, M=3)
+    plan = make_plan(2, 3)
+    n_out = cfg.output_length(8192)
+    got = np.asarray(
+        polyphase_fir(jnp.asarray(xs), plan, n_out, interpret=True)
+    )
+    for c in range(3):
+        want, _ = resample_oracle(xs[c], fs, cfg, engine="fast")
+        assert snr_db(want, got[c]) > 60.0
+
+
+def _ops_for(gains, fs, block):
+    cfg = EQConfig.from_gains(gains)
+    return make_block_operators(cfg.active_bands(fs), fs, cfg.q, block), cfg
+
+
+def test_iir_kernels_match_jnp_path():
+    fs = 44100
+    x = make_test_signal(16384, fs, seed=5)
+    block = 256
+    ops, cfg = _ops_for({"Sub-Bass": 6, "Bass": -3, "High Mids": 12}, fs, block)
+    K = len(x) // block
+    xb = jnp.asarray(x.reshape(1, K, block))
+
+    # Phase A vs jnp scan
+    e_kernel = np.asarray(block_end_states(xb, ops, interpret=True))
+    _, e_jnp = _block_recurrence(xb, ops)
+    np.testing.assert_allclose(e_kernel, np.asarray(e_jnp), atol=2e-5)
+
+    # Phase B + C vs full jnp equalize (pre-clip)
+    sigma = _carry_states(jnp.asarray(e_kernel), ops)
+    y = np.asarray(block_apply(xb, sigma, ops, interpret=True)).reshape(-1)
+
+    from dsp_audio_project_tpu.oracle import equalize_oracle
+
+    want = equalize_oracle(x, fs, cfg)
+    got = np.clip(y, -1.0, 1.0)
+    assert snr_db(want, got) > 60.0
+
+
+def test_iir_kernel_ragged_tiles():
+    fs = 44100
+    block = 128
+    K = 37  # not a multiple of any pow2 tile
+    x = make_test_signal(K * block, fs, seed=8)
+    ops, cfg = _ops_for({"Bass": 5}, fs, block)
+    xb = jnp.asarray(x.reshape(1, K, block))
+    e = np.asarray(block_end_states(xb, ops, block_tile=16, interpret=True))
+    _, e_jnp = _block_recurrence(xb, ops)
+    np.testing.assert_allclose(e, np.asarray(e_jnp), atol=2e-5)
+
+
+@pytest.mark.parametrize("n", [8, 256, 2048])
+def test_rfft_kernel_matches_numpy(n, rng):
+    x = rng.standard_normal((5, n)).astype(np.float32)
+    got = np.asarray(rfft_pallas(jnp.asarray(x), interpret=True))
+    want = np.fft.rfft(x, axis=-1)
+    assert got.shape == want.shape
+    assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 1e-5
+
+
+def test_rfft_kernel_row_tiling(rng):
+    x = rng.standard_normal((7, 512)).astype(np.float32)
+    got = np.asarray(rfft_pallas(jnp.asarray(x), row_tile=4, interpret=True))
+    want = np.fft.rfft(x, axis=-1)
+    assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 1e-5
