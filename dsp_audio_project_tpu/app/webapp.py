@@ -1,0 +1,143 @@
+"""Streamlit web app — interactive parity with the reference UI.
+
+The reference's only user surface is ``streamlit run app.py`` (A1-A9,
+/root/reference/app.py).  This module provides the same interactive surface
+on top of the TPU pipeline: source selection, the optional 15 s center
+analysis window, L/M inputs bounded [1, 8], six EQ sliders in [-15, 15] dB,
+both analysis modes (spectral/temporal and discrete-stem), playback with
+position persistence, and WAV download.
+
+Streamlit is not part of the TPU image; the module import-guards it and the
+CLI's ``--report`` path (app/report.py) provides the same views offline.
+
+Run with:  streamlit run -m dsp_audio_project_tpu.app.webapp  (or
+``python -m streamlit run dsp_audio_project_tpu/app/webapp.py``).
+"""
+from __future__ import annotations
+
+import io
+import os
+import uuid
+
+import numpy as np
+
+try:
+    import streamlit as st
+
+    HAVE_STREAMLIT = True
+except ImportError:  # pragma: no cover - exercised only where UI deps exist
+    st = None
+    HAVE_STREAMLIT = False
+
+from ..config import (
+    DEFAULT_BAND_NAMES,
+    EQConfig,
+    PipelineConfig,
+    SRCConfig,
+)
+from ..io.signal_io import export_wav, load_signal
+from ..models.chain import AudioPipeline
+from .report import render_report
+
+_BAND_RANGES = ("16-60 Hz", "60-250 Hz", "250-2k Hz", "2k-4k Hz",
+                "4k-6k Hz", "6k-16k Hz")  # app.py:155
+
+
+def main() -> None:  # pragma: no cover - UI glue, needs streamlit
+    if not HAVE_STREAMLIT:
+        raise SystemExit(
+            "streamlit is not installed; use the CLI --report flag for the "
+            "offline HTML analysis views"
+        )
+
+    st.set_page_config(page_title="TPU DSP Lab", layout="wide", page_icon="🎛️")
+    st.markdown(
+        "<style>.stAlert{display:none;}.block-container{padding-top:1.5rem;}"
+        ".dsp-monitor{background-color:#1e1e1e;color:#00ff00;padding:10px 15px;"
+        "border-radius:5px;font-family:'Courier New',monospace;font-size:0.9em;"
+        "border:1px solid #333;margin-bottom:15px;}</style>",
+        unsafe_allow_html=True,
+    )
+    st.title("🎛️ Discrete-time audio processing on TPU")
+
+    if "signal" not in st.session_state:
+        st.session_state.signal = None
+        st.session_state.fs = 0
+        st.session_state.name = ""
+        st.session_state.session_id = str(uuid.uuid4())
+
+    st.sidebar.header("Input")
+    upload = st.sidebar.file_uploader("Upload WAV", type=["wav"])
+    if upload is not None and upload.name != st.session_state.name:
+        x, fs = load_signal(upload.read())
+        st.session_state.signal = x
+        st.session_state.fs = fs
+        st.session_state.name = upload.name
+        st.session_state.session_id = str(uuid.uuid4())
+
+    if st.session_state.signal is None:
+        st.info("Load a WAV to start processing.")
+        st.stop()
+
+    x = st.session_state.signal
+    fs = int(st.session_state.fs)
+
+    use_window = st.sidebar.checkbox("Analysis window (15s)", value=False)
+    if use_window:
+        center = len(x) // 2
+        n_win = 15 * fs
+        start = max(0, center - n_win // 2)
+        x = x[start : min(len(x), start + n_win)]
+
+    st.sidebar.subheader("1. Sample-rate converter (SRC)")
+    c1, c2 = st.sidebar.columns(2)
+    L = c1.number_input("Expansion (L)", 1, 8, 1)
+    M = c2.number_input("Decimation (M)", 1, 8, 1)
+
+    st.sidebar.subheader("2. Equalizer (EQ)")
+    gains = {}
+    for i, (name, rng) in enumerate(zip(DEFAULT_BAND_NAMES, _BAND_RANGES)):
+        gains[name] = st.sidebar.slider(f"{name} ({rng})", -15, 15, 0, key=f"g_{i}")
+
+    cfg = PipelineConfig(
+        src=SRCConfig(L=int(L), M=int(M)), eq=EQConfig.from_gains(gains)
+    )
+    with st.spinner("Processing signal..."):
+        pipe = AudioPipeline(cfg)
+        out = pipe(x, fs)
+        z = np.asarray(out.output)
+
+    mode = st.radio(
+        "Analysis mode:",
+        ["Spectral & temporal", "Discrete sequence (stem)"],
+        horizontal=True,
+    )
+    omega = False
+    t_sel = None
+    if mode == "Spectral & temporal":
+        omega = "rad" in st.radio(
+            "Units:", ["Hz (real frequency)", "rad/s (normalized omega)"],
+            horizontal=True,
+        )
+    else:
+        duration = len(x) / fs
+        t_sel = st.slider("Analysis instant (seconds)", 0.0, duration,
+                          duration / 2.0, step=0.01)
+
+    html = render_report(
+        x, fs, cfg,
+        title=st.session_state.name or "analysis",
+        normalized_omega=omega,
+        stem_time_s=t_sel,
+        include_audio=True,
+    )
+    st.components.v1.html(html, height=2400, scrolling=True)
+
+    buf = io.BytesIO()
+    buf.write(export_wav(z, out.fs_out))
+    buf.seek(0)
+    st.download_button("💾 Download WAV", buf, "output_dsp.wav", "audio/wav")
+
+
+if __name__ == "__main__" and HAVE_STREAMLIT:  # pragma: no cover
+    main()

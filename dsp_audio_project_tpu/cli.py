@@ -67,6 +67,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="write input/resampled/output magnitude spectra as JSON",
     )
     p.add_argument(
+        "--report", metavar="HTML_PATH",
+        help="write a self-contained HTML analysis report (time/frequency/"
+             "stem/angular views + audio player)",
+    )
+    p.add_argument(
+        "--report-omega", action="store_true",
+        help="use the normalized-omega (rad/sample) frequency axis in the report",
+    )
+    p.add_argument(
         "--no-ui-bounds", action="store_true",
         help="lift the reference UI's L,M<=8 and |gain|<=15 dB bounds",
     )
@@ -118,6 +127,13 @@ def main(argv=None) -> int:
     if args.output:
         export_wav(np.asarray(out.output), out.fs_out, args.output)
         print(f"wrote {args.output}")
+
+    if args.report:
+        from .app.report import write_report
+
+        write_report(args.report, np.asarray(x), fs, cfg,
+                     title=args.input, normalized_omega=args.report_omega)
+        print(f"wrote {args.report}")
 
     if args.spectra:
         payload = {

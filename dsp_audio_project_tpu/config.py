@@ -157,12 +157,24 @@ class MeshConfig:
 
 @dataclasses.dataclass(frozen=True)
 class KernelConfig:
-    """Kernel-path selection and tiling knobs."""
+    """Kernel-path selection and tiling knobs.
 
-    use_pallas: bool = True          # fall back to jnp ops when False
+    Paths: 'auto' picks the fastest measured implementation for the target
+    ('jnp' on current hardware — the fused XLA paths beat the standalone
+    Pallas kernels by avoiding tile-staging passes); 'pallas' forces the
+    Pallas kernels; 'jnp' forces the pure-XLA ops.
+    """
+
+    fir_path: str = "auto"           # 'auto' | 'pallas' | 'jnp'
+    iir_path: str = "auto"
     iir_block: int = 256             # within-block sequential length for the IIR scan
-    fir_frame_tile: int = 256        # frame rows per MXU tile in the FIR kernel
+    iir_unroll: int = 16             # samples advanced per scan step (matmul group)
+    fir_frame_tile: int = 512        # frame rows per MXU tile in the FIR kernel
     interpret: bool = False          # run Pallas kernels in interpreter mode
+
+    def resolve(self, path: str) -> str:
+        p = getattr(self, f"{path}_path")
+        return "jnp" if p == "auto" else p
 
 
 @dataclasses.dataclass(frozen=True)

@@ -47,8 +47,31 @@ class AudioPipeline:
 
     def _forward(self, x: jnp.ndarray, fs: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
         cfg = self.config
-        y, fs_out = resample(x, fs, cfg.src)
-        z = equalize(y, fs_out, cfg.eq, block=cfg.kernels.iir_block)
+        kc = cfg.kernels
+        if cfg.src.bypass or kc.resolve("fir") == "jnp":
+            y, fs_out = resample(x, fs, cfg.src)
+        else:
+            from ..kernels.fir import polyphase_fir
+            from ..ops.src import make_plan
+
+            plan = make_plan(cfg.src.L, cfg.src.M, cfg.src.taps_rule_factor)
+            y = polyphase_fir(
+                x.astype(jnp.float32),
+                plan,
+                cfg.src.output_length(x.shape[-1]),
+                frame_tile=kc.fir_frame_tile,
+                interpret=kc.interpret,
+            )
+            fs_out = cfg.src.output_rate(fs)
+        if kc.resolve("iir") == "jnp":
+            z = equalize(y, fs_out, cfg.eq, block=kc.iir_block)
+        else:
+            from ..ops.eq import equalize_pallas
+
+            z = equalize_pallas(
+                y, fs_out, cfg.eq, block=kc.iir_block,
+                unroll=kc.iir_unroll, interpret=kc.interpret,
+            )
         return z, y
 
     def output_rate(self, fs: int) -> int:

@@ -54,12 +54,13 @@ from ..design.biquad import (
 
 @functools.lru_cache(maxsize=None)
 def make_block_operators(
-    bands: Tuple[Tuple[float, float], ...], fs: int, q: float, block: int
+    bands: Tuple[Tuple[float, float], ...], fs: int, q: float, block: int,
+    unroll: int = 16,
 ) -> BlockOperators:
     """Compose active (fc, gain_db) bands at rate fs into block operators."""
     sections = [peaking_coeffs(fc, fs, gain, q) for fc, gain in bands]
     ss = schur_form(cascade_state_space(sections))
-    return block_operators(ss, block)
+    return block_operators(ss, block, unroll)
 
 
 def _block_recurrence(
@@ -255,3 +256,38 @@ def final_state(x: jnp.ndarray, fs: int, cfg: EQConfig, block: int = 1024):
     """End state of the cascade after consuming ``x`` (see equalize_stream)."""
     _, s = equalize_stream(x, fs, cfg, None, block)
     return s
+
+
+def equalize_pallas(
+    x: jnp.ndarray,
+    fs: int,
+    cfg: EQConfig,
+    block: int = 1024,
+    unroll: int = 16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """``equalize`` through the Pallas block kernels (kernels/iir.py).
+
+    Same semantics and operators as the jnp path; the kernels re-run the
+    recurrence from true initial states instead of applying a correction
+    matmul, so HBM sees x twice and y once.
+    """
+    from ..kernels.iir import block_apply, block_end_states
+
+    if cfg.bypass:
+        return x
+    bands = cfg.active_bands(fs)
+    if not bands:
+        return jnp.clip(x, -1.0, 1.0)
+    ops = make_block_operators(bands, int(fs), cfg.q, block, unroll)
+    xf = x.astype(jnp.float32)
+    lead = xf.shape[:-1]
+    n = xf.shape[-1]
+    K = -(-n // block)
+    pad = K * block - n
+    xb = jnp.pad(xf.reshape(-1, n), ((0, 0), (0, pad))).reshape(-1, K, block)
+    e = block_end_states(xb, ops, interpret=interpret)
+    sigma = _carry_states(e, ops)
+    y = block_apply(xb, sigma, ops, interpret=interpret)
+    y = y.reshape(lead + (K * block,))[..., :n]
+    return jnp.clip(y, -1.0, 1.0)

@@ -34,20 +34,30 @@ def _hann(n: int) -> np.ndarray:
 
 
 def _segment_bounds(n: int, nfft: int) -> Tuple[int, int]:
-    """Static segment selection (dsp_core.py:74-82)."""
+    """Static segment selection (dsp_core.py:74-82).
+
+    Note the nfft < n < mid + nfft corner: the reference slices
+    x[mid : mid + nfft], gets a short non-power-of-two segment, and its
+    recursive FFT crashes on it.  The build defines clean semantics instead
+    (SURVEY.md §4 property tier): window whatever the tail holds and zero-pad
+    to the next power of two.
+    """
     if n > nfft:
         mid = n // 2
-        return mid, nfft
+        avail = n - mid
+        if avail >= nfft:
+            return mid, nfft
+        return mid, 1 << (avail - 1).bit_length()
     return 0, 1 << (n - 1).bit_length()
 
 
 @functools.partial(jax.jit, static_argnames=('start', 'm'))
 def _windowed_rfft_mag(x: jnp.ndarray, start: int, m: int) -> jnp.ndarray:
     n = x.shape[-1]
-    if m <= n:
-        seg = x[..., start : start + m]
-    else:
-        seg = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, m - n)])
+    avail = min(m, n - start)
+    seg = x[..., start : start + avail]
+    if avail < m:
+        seg = jnp.pad(seg, [(0, 0)] * (x.ndim - 1) + [(0, m - avail)])
     seg = seg.astype(jnp.float32) * jnp.asarray(_hann(m))
     return rfft_magnitude(seg)  # (..., m//2 + 1)
 

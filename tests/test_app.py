@@ -1,0 +1,93 @@
+"""App layer: HTML report generation and CLI driver."""
+import json
+import os
+import re
+
+import numpy as np
+import pytest
+
+from dsp_audio_project_tpu import EQConfig, PipelineConfig, SRCConfig
+from dsp_audio_project_tpu.app.report import render_report
+from dsp_audio_project_tpu.app.svgplot import Figure, decimate_for_display
+from dsp_audio_project_tpu.io.wavio import read_wav, write_wav
+
+from conftest import make_test_signal
+
+
+def test_display_decimation():
+    # Reference semantics (app.py:102-106): stride ceil(n/max) keeps <= max.
+    x = np.arange(10_000)
+    d = decimate_for_display(x, 2500)
+    assert len(d) <= 2500
+    assert d[0] == 0 and d[1] == 4
+    short = np.arange(100)
+    assert decimate_for_display(short, 2500) is short
+
+
+def test_svg_figure_renders():
+    f = Figure("t", xlabel="x", ylabel="y", logx=True)
+    f.line([1, 10, 100], [0, 5, -5], "#00ff00", "trace")
+    f.vline(10)
+    svg = f.render()
+    assert svg.startswith("<svg") and svg.endswith("</svg>")
+    assert "polyline" in svg and "stroke-dasharray" in svg
+
+
+def test_report_contents(audio_short):
+    x, fs = audio_short
+    cfg = PipelineConfig(src=SRCConfig(L=1, M=2),
+                         eq=EQConfig.from_gains({"Bass": 6}))
+    html = render_report(x, fs, cfg, title="t")
+    assert html.count("<svg") == 6  # time, freq, 3 stems, angular
+    assert "audio/wav;base64" in html
+    assert f"Fs_out: {fs // 2} Hz" in html
+    assert "sessionStorage" in html  # player position persistence (A3)
+    # band-edge markers present in the frequency chart
+    assert "stroke-dasharray" in html
+
+
+def test_report_omega_axis(audio_short):
+    x, fs = audio_short
+    html = render_report(x, fs, PipelineConfig(), normalized_omega=True,
+                         include_audio=False)
+    assert "rad/sample" in html
+    assert "audio/wav" not in html
+
+
+def test_cli_report_and_wav(tmp_path, audio_short):
+    from dsp_audio_project_tpu.cli import main
+
+    x, fs = audio_short
+    src = str(tmp_path / "in.wav")
+    write_wav(src, fs, (x * 30000).astype(np.int16))
+    out = str(tmp_path / "out.wav")
+    rpt = str(tmp_path / "r.html")
+    spec = str(tmp_path / "s.json")
+    rc = main([src, out, "-L", "2", "-M", "3", "-g", "Bass=6",
+               "--report", rpt, "--spectra", spec])
+    assert rc == 0
+    y, fs_out = read_wav(out)
+    assert fs_out == fs * 2 // 3
+    assert os.path.getsize(rpt) > 10_000
+    data = json.load(open(spec))
+    assert set(data) == {"input", "resampled", "output"}
+
+
+def test_cli_bounds(tmp_path, audio_short):
+    from dsp_audio_project_tpu.cli import main
+
+    x, fs = audio_short
+    src = str(tmp_path / "in.wav")
+    write_wav(src, fs, (x * 30000).astype(np.int16))
+    assert main([src, "-L", "160"]) == 2
+    assert main([src, "-g", "Bass=40"]) == 2
+
+
+def test_webapp_import_guard():
+    # streamlit absent in this image: the module must import cleanly and
+    # refuse politely at runtime.
+    from dsp_audio_project_tpu.app import webapp
+
+    if not webapp.HAVE_STREAMLIT:
+        with pytest.raises(SystemExit):
+            webapp.main()

@@ -105,3 +105,20 @@ def test_wav_roundtrip_through_chain(tmp_path, audio_short):
     assert fs_read == fs_out == fs // 2
     assert len(y) == len(z)
     assert np.max(np.abs(y)) <= 1.0
+
+
+def test_chain_pallas_kernel_paths(audio_short):
+    """KernelConfig path forcing: the Pallas chain matches the jnp chain."""
+    from dsp_audio_project_tpu.config import KernelConfig
+
+    x, fs = audio_short
+    base = dict(src=SRCConfig(L=3, M=2), eq=EQConfig.from_gains({"Bass": 6}))
+    jnp_cfg = PipelineConfig(**base, kernels=KernelConfig(
+        fir_path="jnp", iir_path="jnp"))
+    pal_cfg = PipelineConfig(**base, kernels=KernelConfig(
+        fir_path="pallas", iir_path="pallas", interpret=True))
+    z1, fs1 = process(x, fs, jnp_cfg)
+    z2, fs2 = process(x, fs, pal_cfg)
+    assert fs1 == fs2
+    assert z1.shape == z2.shape
+    assert snr_db(np.asarray(z1), np.asarray(z2)) > 80.0

@@ -44,3 +44,16 @@ def test_angular_spectrum(rng):
     want = np.abs(np.fft.fftshift(np.fft.fft(x)))
     assert w[0] == -np.pi and w[-1] == np.pi
     assert np.max(np.abs(np.asarray(mag) - want)) / np.max(want) < 1e-5
+
+
+def test_short_tail_segment(rng):
+    """nfft < N < mid + nfft: the reference crashes here (short non-pow2
+    center segment into its recursive FFT); the build pads cleanly."""
+    fs = 48000
+    x = rng.standard_normal(2731).astype(np.float32)
+    f, m = magnitude_spectrum(jnp.asarray(x), fs)
+    # tail = 2731 - 1365 = 1366 -> padded to 2048 -> 1025 bins
+    assert m.shape[-1] == 1025
+    want = np.abs(np.fft.rfft(
+        np.pad(x[1365:], (0, 2048 - 1366)) * np.hanning(2048)))
+    np.testing.assert_allclose(np.asarray(m), want, rtol=1e-3, atol=1e-3)
