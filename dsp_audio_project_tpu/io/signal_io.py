@@ -21,6 +21,7 @@ def load_signal(
     src: Union[str, bytes, BinaryIO],
     *,
     mono: bool = True,
+    engine: str = "auto",
 ) -> Tuple[np.ndarray, int]:
     """Decode audio into a conditioned discrete-time signal.
 
@@ -34,8 +35,28 @@ def load_signal(
     With ``mono=False`` the same conditioning is applied per-file with the
     channel axis preserved, shape ``(C, N)`` — the layout the sharded pipeline
     expects (channels leading so the mesh 'channel' axis shards dim 0).
+
+    ``engine``: 'auto' decodes through the native C++ codec when its library
+    is available (bit-matching the numpy path; tests/test_native.py), 'numpy'
+    forces the pure-Python codec.
     """
     try:
+        if engine == "auto":
+            from . import native as _native
+
+            if _native.available():
+                data = src
+                if isinstance(src, str):
+                    with open(src, "rb") as fh:
+                        data = fh.read()
+                elif hasattr(src, "read"):
+                    data = src.read()
+                try:
+                    x, fs = _native.decode(bytes(data), mono=mono)
+                    return x, int(fs)
+                except ValueError:
+                    # Unsupported layout for the native parser; numpy path.
+                    src = data
         x, fs = read_wav(src)
         if mono:
             if x.ndim > 1:
