@@ -30,9 +30,10 @@ from .config import (
 from .io.signal_io import export_wav, load_signal
 from .io.wavio import read_wav, write_wav
 from .models.chain import AudioPipeline, PipelineOutputs
-from .ops.eq import equalize
+from .ops.eq import equalize, equalize_stream
 from .ops.spectrum import angular_spectrum, magnitude_spectrum, spectrum_db
 from .ops.src import resample
+from .streaming import StreamProcessor, StreamState
 
 __version__ = "0.1.0"
 
@@ -54,6 +55,7 @@ __all__ = [
     "SRCConfig",
     "angular_spectrum",
     "equalize",
+    "equalize_stream",
     "export_wav",
     "load_signal",
     "magnitude_spectrum",
@@ -61,5 +63,7 @@ __all__ = [
     "read_wav",
     "resample",
     "spectrum_db",
+    "StreamProcessor",
+    "StreamState",
     "write_wav",
 ]
