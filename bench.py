@@ -22,7 +22,7 @@ import time
 
 import numpy as np
 
-SECONDS = 10.0
+SECONDS = 60.0
 FS = 44100
 GAINS = {"Sub-Bass": 6, "Bass": -3, "High Mids": 12, "Presence": -15,
          "Brilliance": 4}
@@ -65,31 +65,45 @@ def main() -> None:
 
     log(f"device: {jax.devices()[0]}")
 
-    # Distinct inputs per timed call: the axon remote backend memoizes
-    # executions on identical input buffers, so same-input loops measure a
-    # cache, not the chip (utils/benchmarking.py).
+    # Measurement rules for this backend (utils/benchmarking.py):
+    #   1. identical input buffers hit an execution cache -> every timed
+    #      call gets a fresh batch;
+    #   2. block_until_ready returns before the device finishes -> force
+    #      completion by fetching a scalar reduction of the output;
+    #   3. fetch round trips dominate single calls -> batch-size
+    #      differential cancels them.
+    from dsp_audio_project_tpu.utils.benchmarking import (
+        measure_batched_differential,
+    )
+
     rng = np.random.default_rng(7)
-    inputs = [jax.device_put(jnp.asarray(x))]
-    for _ in range(9):
-        inputs.append(
-            jax.device_put(jnp.asarray(
-                (x + 0.01 * rng.standard_normal(n)).astype(np.float32)
-            ))
-        )
-    for v in inputs:
+
+    def make_batch(b):
+        xs = np.stack([
+            (x + 0.01 * rng.standard_normal(n)).astype(np.float32)
+            for _ in range(b)
+        ])
+        v = jax.device_put(jnp.asarray(xs))
         v.block_until_ready()
+        return (v,)
+
+    def build_fn(b):
+        def run(v):
+            z, _ = fn(v, FS)
+            return jnp.sum(z)
+        return jax.jit(run)
 
     t0 = time.perf_counter()
-    z, y = fn(inputs[0], FS)
+    z, y = fn(jnp.asarray(x), FS)
     z.block_until_ready()
     log(f"compile+first-run: {time.perf_counter() - t0:.2f}s")
 
-    dt = measure(lambda v: fn(v, FS)[0], [(v,) for v in inputs[1:]],
-                 warmup_input=(inputs[0],))
-    z, y = fn(inputs[0], FS)
+    dt = measure_batched_differential(build_fn, make_batch, sizes=(4, 12))
     sps = n / dt
-    log(f"tpu chain: {dt*1e3:.2f} ms / {SECONDS:.0f}s audio "
+    log(f"tpu chain: {dt*1e3:.3f} ms per {SECONDS:.0f}s-signal "
+        f"(batched differential, completion-forced) "
         f"-> {sps/1e6:.1f} M samples/s/chip")
+    z, y = fn(jnp.asarray(x), FS)
 
     # Accuracy vs oracle (fft engine: identical math to ~1e-13, tractable).
     want, fs_want = pipeline_oracle(x, FS, cfg.src, cfg.eq, engine="fast")

@@ -157,18 +157,52 @@ def _resample_jit(x: jnp.ndarray, cfg: SRCConfig) -> jnp.ndarray:
 def _resample_frames(
     x: jnp.ndarray, plan: PolyphasePlan, n: int, n_out: int
 ) -> jnp.ndarray:
-    """Core frame-matmul; shapes static, geometry host-computed."""
+    """Core frame computation; shapes static, geometry host-computed.
+
+    Two equivalent evaluations of  y[k*P + c] = sum_w x[k*s + lo + w] G[w, c]:
+
+    * shifted-matmul (s >= 8): a width-W frame is ceil(W/s) consecutive
+      s-sample groups, so with the padded input viewed as groups
+      X2[g] = x[g*s : (g+1)*s], the result is sum_j X2[j : j+K] @ G_j —
+      J plain MXU matmuls over shifted views, no gather (TPU gathers are
+      an order of magnitude slower than slices).
+    * gather (small s): J would approach W, degenerating into rank-~s
+      updates; a single explicit frame gather + one matmul wins instead.
+    """
     num_frames = -(-n_out // plan.P)
     pad_left = max(0, -plan.lo)
-    max_idx = (num_frames - 1) * plan.s + plan.W - 1 + plan.lo
-    pad_right = max(0, max_idx - (n - 1))
-    xp = jnp.pad(
-        x.astype(jnp.float32),
-        [(0, 0)] * (x.ndim - 1) + [(pad_left, pad_right)],
-    )
-    idx = jnp.asarray(_frame_indices(num_frames, plan, pad_left))
-    frames = jnp.take(xp, idx, axis=-1)  # (..., K, W)
+    lead = x.shape[:-1]
     g_mat = jnp.asarray(plan.G, dtype=jnp.float32)
-    classes = einsum_f32("...kw,wp->...kp", frames, g_mat)
-    out = classes.reshape(x.shape[:-1] + (num_frames * plan.P,))
+
+    if plan.s >= 8:
+        J = -(-plan.W // plan.s)
+        groups_total = num_frames + J
+        total_len = groups_total * plan.s
+        pad_right = max(0, total_len - pad_left - n)
+        xp = jnp.pad(
+            x.astype(jnp.float32),
+            [(0, 0)] * (x.ndim - 1) + [(pad_left, pad_right)],
+        )[..., :total_len]
+        x2 = xp.reshape(lead + (groups_total, plan.s))
+        g_pad = jnp.pad(g_mat, ((0, J * plan.s - plan.W), (0, 0)))
+        acc = None
+        for j in range(J):
+            chunk = jax.lax.slice_in_dim(x2, j, j + num_frames, axis=x2.ndim - 2)
+            term = einsum_f32(
+                "...ks,sp->...kp", chunk, g_pad[j * plan.s : (j + 1) * plan.s]
+            )
+            acc = term if acc is None else acc + term
+        classes = acc
+    else:
+        max_idx = (num_frames - 1) * plan.s + plan.W - 1 + plan.lo
+        pad_right = max(0, max_idx - (n - 1))
+        xp = jnp.pad(
+            x.astype(jnp.float32),
+            [(0, 0)] * (x.ndim - 1) + [(pad_left, pad_right)],
+        )
+        idx = jnp.asarray(_frame_indices(num_frames, plan, pad_left))
+        frames = jnp.take(xp, idx, axis=-1)  # (..., K, W)
+        classes = einsum_f32("...kw,wp->...kp", frames, g_mat)
+
+    out = classes.reshape(lead + (num_frames * plan.P,))
     return out[..., :n_out]

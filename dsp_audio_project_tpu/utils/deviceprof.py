@@ -1,0 +1,71 @@
+"""Device-side op profiling via jax.profiler traces.
+
+Wall-clock through the remote tunnel is unusable for kernel work (see
+benchmarking.py); the profiler's device timeline is ground truth.  This
+wraps trace capture + parsing into one call returning per-op durations.
+"""
+from __future__ import annotations
+
+import collections
+import glob
+import gzip
+import json
+import os
+import tempfile
+from typing import Callable, Dict, List, Tuple
+
+import jax
+
+
+def profile_device_ops(
+    fn: Callable, *args, top: int = 20
+) -> Tuple[float, List[Tuple[str, float]]]:
+    """Run ``fn(*args)`` under a profiler trace.
+
+    Returns (total_device_ms, [(op_name, ms) ...]) sorted by time.  The
+    total is the duration of the outermost device program (module events are
+    excluded from the per-op list).
+    """
+    with tempfile.TemporaryDirectory() as td:
+        with jax.profiler.trace(td):
+            out = fn(*args)
+            jax.block_until_ready(out)
+            # Force completion on backends with async-completing futures.
+            jax.tree_util.tree_map(
+                lambda a: getattr(a, "addressable_data", lambda i: a)(0)
+                if hasattr(a, "addressable_data") else a, out)
+        traces = sorted(glob.glob(os.path.join(td, "**", "*.trace.json.gz"),
+                                  recursive=True))
+        if not traces:
+            return 0.0, []
+        with gzip.open(traces[-1]) as f:
+            data = json.load(f)
+
+    events = data.get("traceEvents", [])
+    pids = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pids[e["pid"]] = e["args"].get("name", "")
+    agg: Dict[str, float] = collections.Counter()
+    total = 0.0
+    for e in events:
+        if e.get("ph") != "X":
+            continue
+        if "TPU" not in pids.get(e["pid"], ""):
+            continue
+        name = e["name"]
+        dur_ms = e.get("dur", 0) / 1e3
+        if name.startswith("jit_") or "(" in name:
+            total = max(total, dur_ms)
+        else:
+            agg[name] += dur_ms
+    ops = sorted(agg.items(), key=lambda kv: -kv[1])[:top]
+    return total, ops
+
+
+def print_profile(fn: Callable, *args, top: int = 20) -> float:
+    total, ops = profile_device_ops(fn, *args, top=top)
+    print(f"device total: {total:.3f} ms")
+    for name, ms in ops:
+        print(f"  {ms:8.3f} ms  {name}")
+    return total
