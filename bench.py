@@ -98,10 +98,28 @@ def main() -> None:
     z.block_until_ready()
     log(f"compile+first-run: {time.perf_counter() - t0:.2f}s")
 
-    dt = measure_batched_differential(build_fn, make_batch, sizes=(4, 12))
+    # Profiler device timeline is the stable ground truth (wall clock through
+    # the remote tunnel carries multi-x jitter); the batch-size differential
+    # is the fallback when tracing is unavailable.
+    dt = None
+    try:
+        from dsp_audio_project_tpu.utils.deviceprof import profile_device_ops
+
+        B_prof = 8
+        f_prof = build_fn(B_prof)
+        float(f_prof(*make_batch(B_prof)))  # warm
+        total_ms, _ = profile_device_ops(f_prof, *make_batch(B_prof))
+        if total_ms > 0:
+            dt = total_ms / 1e3 / B_prof
+            log(f"profiler device time: {dt*1e3:.3f} ms per signal")
+    except Exception as e:  # pragma: no cover
+        log(f"profiler unavailable ({e})")
+    if dt is None:
+        dt = measure_batched_differential(build_fn, make_batch, sizes=(2, 6),
+                                          reps=2)
+        log(f"batched differential: {dt*1e3:.3f} ms per signal")
     sps = n / dt
     log(f"tpu chain: {dt*1e3:.3f} ms per {SECONDS:.0f}s-signal "
-        f"(batched differential, completion-forced) "
         f"-> {sps/1e6:.1f} M samples/s/chip")
     z, y = fn(jnp.asarray(x), FS)
 

@@ -167,8 +167,11 @@ class KernelConfig:
 
     fir_path: str = "auto"           # 'auto' | 'pallas' | 'jnp'
     iir_path: str = "auto"
-    iir_block: int = 256             # within-block sequential length for the IIR scan
-    iir_unroll: int = 16             # samples advanced per scan step (matmul group)
+    # (block, unroll) sweet spot from the device-profile sweep on v5e
+    # (332 us/60s-signal at 8192/256; 4.4x over 256/16).  Streaming uses its
+    # own smaller default (ops/eq.equalize_stream).
+    iir_block: int = 8192            # within-block sequential length for the IIR scan
+    iir_unroll: int = 256            # samples advanced per scan step (matmul group)
     fir_frame_tile: int = 512        # frame rows per MXU tile in the FIR kernel
     interpret: bool = False          # run Pallas kernels in interpreter mode
 

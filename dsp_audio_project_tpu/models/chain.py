@@ -64,7 +64,8 @@ class AudioPipeline:
             )
             fs_out = cfg.src.output_rate(fs)
         if kc.resolve("iir") == "jnp":
-            z = equalize(y, fs_out, cfg.eq, block=kc.iir_block)
+            z = equalize(y, fs_out, cfg.eq, block=kc.iir_block,
+                         unroll=kc.iir_unroll)
         else:
             from ..ops.eq import equalize_pallas
 

@@ -140,13 +140,14 @@ def _carry_states(
     return sig
 
 
-@functools.partial(jax.jit, static_argnames=('fs', 'cfg', 'block'))
-def equalize(x: jnp.ndarray, fs: int, cfg: EQConfig, block: int = 1024) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=('fs', 'cfg', 'block', 'unroll'))
+def equalize(x: jnp.ndarray, fs: int, cfg: EQConfig, block: int = 8192,
+             unroll: int = 256) -> jnp.ndarray:
     """Apply the EQ cascade to (..., N) float32 signals.
 
     Matches the golden oracle (sequential lfilter cascade) to float32
     rounding; see tests/test_eq.py for the SNR gate.  Jit-compiled per
-    (fs, config, block, shape).
+    (fs, config, block, unroll, shape).
     """
     if cfg.bypass:
         return x
@@ -154,7 +155,7 @@ def equalize(x: jnp.ndarray, fs: int, cfg: EQConfig, block: int = 1024) -> jnp.n
     if not bands:
         # Active request but every band clamped away: reference still clips.
         return jnp.clip(x, -1.0, 1.0)
-    ops = make_block_operators(bands, int(fs), cfg.q, block)
+    ops = make_block_operators(bands, int(fs), cfg.q, block, unroll)
     y = _equalize_blocks(x.astype(jnp.float32), ops)
     return jnp.clip(y, -1.0, 1.0)
 

@@ -26,14 +26,14 @@ def profile_device_ops(
     total is the duration of the outermost device program (module events are
     excluded from the per-op list).
     """
+    import numpy as np
+
     with tempfile.TemporaryDirectory() as td:
         with jax.profiler.trace(td):
             out = fn(*args)
-            jax.block_until_ready(out)
-            # Force completion on backends with async-completing futures.
-            jax.tree_util.tree_map(
-                lambda a: getattr(a, "addressable_data", lambda i: a)(0)
-                if hasattr(a, "addressable_data") else a, out)
+            # Completion must be forced by fetching result BYTES — on the
+            # axon backend block_until_ready resolves early (benchmarking.py).
+            jax.tree_util.tree_map(np.asarray, out)
         traces = sorted(glob.glob(os.path.join(td, "**", "*.trace.json.gz"),
                                   recursive=True))
         if not traces:
