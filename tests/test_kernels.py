@@ -108,3 +108,21 @@ def test_rfft_kernel_row_tiling(rng):
     got = np.asarray(rfft_pallas(jnp.asarray(x), row_tile=4, interpret=True))
     want = np.fft.rfft(x, axis=-1)
     assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 1e-5
+
+
+def test_fir_dma_kernel_matches_oracle():
+    """Manual-DMA FIR kernel (interpret mode) incl. batch-row boundaries."""
+    from dsp_audio_project_tpu.kernels.fir_dma import polyphase_fir_dma
+
+    fs = 44100
+    xs = np.stack([make_test_signal(20000, fs, seed=s) for s in range(2)])
+    cfg = SRCConfig(L=160, M=147)
+    plan = make_plan(160, 147)
+    n_out = cfg.output_length(20000)
+    got = np.asarray(
+        polyphase_fir_dma(jnp.asarray(xs), plan, n_out, frame_tile=64,
+                          interpret=True)
+    )
+    for c in range(2):
+        want, _ = resample_oracle(xs[c], fs, cfg, engine="fast")
+        assert snr_db(want, got[c]) > 60.0
