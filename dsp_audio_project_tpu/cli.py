@@ -79,6 +79,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--no-ui-bounds", action="store_true",
         help="lift the reference UI's L,M<=8 and |gain|<=15 dB bounds",
     )
+    p.add_argument(
+        "--multichannel", action="store_true",
+        help="keep channels separate (reference mixes to mono); processes "
+             "all channels as a batch and writes a multichannel WAV",
+    )
     return p
 
 
@@ -103,12 +108,13 @@ def main(argv=None) -> int:
                 )
                 return 2
 
-    x, fs = load_signal(args.input)
+    x, fs = load_signal(args.input, mono=not args.multichannel)
     if args.window_seconds:
         n_win = int(args.window_seconds * fs)
-        center = len(x) // 2
+        length = x.shape[-1]
+        center = length // 2
         start = max(0, center - n_win // 2)
-        x = x[start : min(len(x), start + n_win)]
+        x = x[..., start : min(length, start + n_win)]
 
     cfg = PipelineConfig(
         src=SRCConfig(L=args.expand, M=args.decimate),
@@ -117,8 +123,9 @@ def main(argv=None) -> int:
     pipe = AudioPipeline(cfg)
     out = pipe(x, fs, with_spectra=bool(args.spectra))
 
+    ch = f"{x.shape[0]}ch " if x.ndim == 2 else ""
     print(
-        f"{args.input}: {len(x)} samples @ {fs} Hz -> "
+        f"{args.input}: {ch}{x.shape[-1]} samples @ {fs} Hz -> "
         f"{out.output.shape[-1]} samples @ {out.fs_out} Hz "
         f"(L={args.expand}, M={args.decimate}, "
         f"eq={'on' if not cfg.eq.bypass else 'bypass'})"
@@ -131,7 +138,10 @@ def main(argv=None) -> int:
     if args.report:
         from .app.report import write_report
 
-        write_report(args.report, np.asarray(x), fs, cfg,
+        x_rep = np.asarray(x)
+        if x_rep.ndim == 2:  # report analyzes the channel mean, like the app
+            x_rep = x_rep.mean(axis=0)
+        write_report(args.report, x_rep, fs, cfg,
                      title=args.input, normalized_omega=args.report_omega)
         print(f"wrote {args.report}")
 

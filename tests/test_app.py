@@ -91,3 +91,17 @@ def test_webapp_import_guard():
     if not webapp.HAVE_STREAMLIT:
         with pytest.raises(SystemExit):
             webapp.main()
+
+
+def test_cli_multichannel(tmp_path, rng):
+    from dsp_audio_project_tpu.cli import main
+
+    fs = 16000
+    stereo = (rng.standard_normal((4000, 2)) * 12000).astype(np.int16)
+    src = str(tmp_path / "st.wav")
+    write_wav(src, fs, stereo)
+    out = str(tmp_path / "st_out.wav")
+    rc = main([src, out, "-L", "1", "-M", "2", "--multichannel"])
+    assert rc == 0
+    y, fs_out = read_wav(out)
+    assert fs_out == fs // 2 and y.shape[1] == 2
