@@ -53,8 +53,6 @@ def main() -> None:
     )
     from dsp_audio_project_tpu.oracle import pipeline_oracle, snr_db
 
-    from dsp_audio_project_tpu.utils.benchmarking import measure
-
     n = int(SECONDS * FS)
     x = make_signal(n, FS)
     cfg = PipelineConfig(

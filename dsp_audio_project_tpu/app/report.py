@@ -25,7 +25,7 @@ import numpy as np
 from ..config import PipelineConfig
 from ..io.signal_io import export_wav
 from ..models.chain import AudioPipeline
-from ..ops.spectrum import angular_spectrum, magnitude_spectrum, spectrum_db
+from ..ops.spectrum import angular_spectrum, magnitude_spectrum
 from .svgplot import Figure, decimate_for_display
 
 _BAND_EDGES_HZ = (60.0, 250.0, 2000.0, 4000.0, 6000.0)  # app.py:235

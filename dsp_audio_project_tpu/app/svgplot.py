@@ -8,7 +8,7 @@ dashed vertical markers, and stem plots.
 from __future__ import annotations
 
 import math
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 

@@ -16,7 +16,6 @@ Run with:  streamlit run -m dsp_audio_project_tpu.app.webapp  (or
 from __future__ import annotations
 
 import io
-import os
 import uuid
 
 import numpy as np

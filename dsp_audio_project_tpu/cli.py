@@ -27,7 +27,6 @@ from .config import (
     SRC_FACTOR_MIN,
     EQConfig,
     PipelineConfig,
-    SpectrumConfig,
     SRCConfig,
 )
 from .io.signal_io import export_wav, load_signal

@@ -39,7 +39,6 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..config import EQConfig
 from ..utils.precision import einsum_f32, matmul_f32, matvec_f32, vecmat_f32

@@ -30,7 +30,6 @@ import numpy as np
 from jax.sharding import Mesh
 
 from ..config import MeshConfig
-from .mesh import BLOCK_AXIS, CHANNEL_AXIS
 
 
 def initialize(

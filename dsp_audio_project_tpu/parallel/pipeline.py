@@ -28,9 +28,7 @@ zero-extension + causal IIR ⇒ prefix-exact).
 from __future__ import annotations
 
 import dataclasses
-import functools
-import math
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -38,7 +36,7 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..config import EQConfig, PipelineConfig, SRCConfig
+from ..config import PipelineConfig, SRCConfig
 from ..design.biquad import BlockOperators
 from ..ops import eq as eq_ops
 from ..ops import src as src_ops

@@ -23,7 +23,7 @@ from __future__ import annotations
 import dataclasses
 import io
 import json
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np

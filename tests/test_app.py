@@ -1,7 +1,6 @@
 """App layer: HTML report generation and CLI driver."""
 import json
 import os
-import re
 
 import numpy as np
 import pytest
@@ -10,8 +9,6 @@ from dsp_audio_project_tpu import EQConfig, PipelineConfig, SRCConfig
 from dsp_audio_project_tpu.app.report import render_report
 from dsp_audio_project_tpu.app.svgplot import Figure, decimate_for_display
 from dsp_audio_project_tpu.io.wavio import read_wav, write_wav
-
-from conftest import make_test_signal
 
 
 def test_display_decimation():

@@ -2,7 +2,6 @@
 import io
 
 import numpy as np
-import pytest
 
 from dsp_audio_project_tpu.io.signal_io import export_wav, load_signal
 from dsp_audio_project_tpu.io.wavio import read_wav, write_wav

@@ -9,7 +9,6 @@ import pytest
 import jax.numpy as jnp
 
 from dsp_audio_project_tpu import EQConfig, SRCConfig
-from dsp_audio_project_tpu.design.biquad import BlockOperators
 from dsp_audio_project_tpu.kernels.fir import polyphase_fir
 from dsp_audio_project_tpu.kernels.iir import block_apply, block_end_states
 from dsp_audio_project_tpu.kernels.rfft import rfft_pallas

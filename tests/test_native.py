@@ -7,7 +7,7 @@ import pytest
 
 from dsp_audio_project_tpu.io import native
 from dsp_audio_project_tpu.io.signal_io import load_signal
-from dsp_audio_project_tpu.io.wavio import read_wav, write_wav
+from dsp_audio_project_tpu.io.wavio import write_wav
 
 pytestmark = pytest.mark.skipif(
     not native.available(), reason="native codec library not built"

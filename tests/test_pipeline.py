@@ -5,7 +5,6 @@ SRC -> EQ -> FFT matching the oracle at >= 60 dB on the BASELINE.json
 headline configs.
 """
 import numpy as np
-import pytest
 import jax.numpy as jnp
 
 from dsp_audio_project_tpu import (

@@ -11,7 +11,7 @@ import sys
 import numpy as np
 import pytest
 
-from dsp_audio_project_tpu.config import EQConfig, SRCConfig, SpectrumConfig
+from dsp_audio_project_tpu.config import SRCConfig, SpectrumConfig
 from dsp_audio_project_tpu import oracle
 
 REF = "/root/reference"

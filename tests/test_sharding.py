@@ -7,8 +7,6 @@ so these tests are the tripwire.
 """
 import numpy as np
 import pytest
-import jax
-import jax.numpy as jnp
 
 from dsp_audio_project_tpu import EQConfig, PipelineConfig, SRCConfig
 from dsp_audio_project_tpu.config import KernelConfig, MeshConfig

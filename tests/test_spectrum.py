@@ -3,7 +3,7 @@ import numpy as np
 import pytest
 import jax.numpy as jnp
 
-from dsp_audio_project_tpu import SpectrumConfig, magnitude_spectrum, angular_spectrum
+from dsp_audio_project_tpu import magnitude_spectrum, angular_spectrum
 from dsp_audio_project_tpu.oracle import spectrum_oracle
 
 
