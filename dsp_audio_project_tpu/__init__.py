@@ -31,6 +31,7 @@ from .io.signal_io import export_wav, load_signal
 from .io.wavio import read_wav, write_wav
 from .models.chain import AudioPipeline, PipelineOutputs
 from .ops.eq import equalize, equalize_stream
+from .ops.eq_dynamic import equalize_dynamic
 from .ops.spectrum import angular_spectrum, magnitude_spectrum, spectrum_db
 from .ops.src import resample
 from .streaming import StreamProcessor, StreamState
@@ -55,6 +56,7 @@ __all__ = [
     "SRCConfig",
     "angular_spectrum",
     "equalize",
+    "equalize_dynamic",
     "equalize_stream",
     "export_wav",
     "load_signal",

@@ -106,7 +106,7 @@ def polyphase_fir_dma(
         kernel,
         grid=(B, k_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # x stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # x stays in HBM
             pl.BlockSpec((J * sp, P), lambda b, k: (0, 0),
                          memory_space=pltpu.VMEM),
         ],

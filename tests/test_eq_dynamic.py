@@ -1,0 +1,67 @@
+"""Dynamic-gain EQ: traced gains vs the static path and the oracle."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from dsp_audio_project_tpu import EQConfig, equalize
+from dsp_audio_project_tpu.ops.eq_dynamic import equalize_dynamic
+from dsp_audio_project_tpu.oracle import equalize_oracle, snr_db
+
+from conftest import make_test_signal
+
+GAIN_SETS = [
+    (6.0, -3.0, 0.0, 12.0, -15.0, 4.0),
+    (15.0, 15.0, 15.0, 15.0, 15.0, 15.0),
+    (-15.0, -14.0, -13.0, -12.5, -3.0, 0.0),   # real-pole regime bands
+    (0.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+    (0.05, -0.05, 0.0, 0.0, 0.0, 0.0),          # below the static skip threshold
+]
+
+
+@pytest.mark.parametrize("gains", GAIN_SETS)
+def test_dynamic_matches_oracle(gains):
+    fs = 44100
+    x = make_test_signal(30000, fs, seed=13)
+    names = [n for n, _ in EQConfig().band_centers]
+    cfg = EQConfig.from_gains(dict(zip(names, gains)))
+    want = equalize_oracle(x, fs, cfg)
+    got = np.asarray(equalize_dynamic(jnp.asarray(x), jnp.asarray(gains), fs))
+    assert got.shape == want.shape
+    q = snr_db(want, np.clip(got, -1, 1))
+    assert q > 60.0, f"gains={gains}: {q:.1f} dB"
+
+
+def test_dynamic_no_recompile():
+    """One compiled executable serves every gain vector."""
+    fs = 48000
+    x = jnp.asarray(make_test_signal(8192, fs, seed=3))
+    with jax.log_compiles(False):
+        pass
+    n0 = equalize_dynamic._cache_size()
+    for g in GAIN_SETS:
+        equalize_dynamic(x, jnp.asarray(g), fs)
+    assert equalize_dynamic._cache_size() == n0 + 1
+
+
+def test_dynamic_matches_static_path():
+    fs = 44100
+    x = make_test_signal(20000, fs, seed=4)
+    gains = (9.0, 0.0, -6.0, 3.0, 0.0, -9.0)
+    names = [n for n, _ in EQConfig().band_centers]
+    cfg = EQConfig.from_gains(dict(zip(names, gains)))
+    stat = np.asarray(equalize(jnp.asarray(x), fs, cfg))
+    dyn = np.asarray(equalize_dynamic(jnp.asarray(x), jnp.asarray(gains), fs))
+    assert snr_db(stat, dyn) > 60.0
+
+
+def test_dynamic_batched():
+    fs = 44100
+    xs = np.stack([make_test_signal(8192, fs, seed=s) for s in range(2)])
+    gains = (6.0, -6.0, 0.0, 0.0, 3.0, 0.0)
+    got = np.asarray(equalize_dynamic(jnp.asarray(xs), jnp.asarray(gains), fs))
+    names = [n for n, _ in EQConfig().band_centers]
+    cfg = EQConfig.from_gains(dict(zip(names, gains)))
+    for c in range(2):
+        want = equalize_oracle(xs[c], fs, cfg)
+        assert snr_db(want, got[c]) > 60.0
