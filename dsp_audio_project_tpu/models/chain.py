@@ -46,6 +46,17 @@ class AudioPipeline:
         self._jitted = jax.jit(self._forward, static_argnums=(1,))
 
     def _forward(self, x: jnp.ndarray, fs: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        from ..utils.profiling import trace_stage
+
+        cfg = self.config
+        kc = cfg.kernels
+        with trace_stage("src"):
+            y, fs_out = self._run_src(x, fs)
+        with trace_stage("eq"):
+            z = self._run_eq(y, fs_out)
+        return z, y
+
+    def _run_src(self, x: jnp.ndarray, fs: int):
         cfg = self.config
         kc = cfg.kernels
         if cfg.src.bypass or kc.resolve("fir") == "jnp":
@@ -63,17 +74,20 @@ class AudioPipeline:
                 interpret=kc.interpret,
             )
             fs_out = cfg.src.output_rate(fs)
-        if kc.resolve("iir") == "jnp":
-            z = equalize(y, fs_out, cfg.eq, block=kc.iir_block,
-                         unroll=kc.iir_unroll)
-        else:
-            from ..ops.eq import equalize_pallas
+        return y, fs_out
 
-            z = equalize_pallas(
-                y, fs_out, cfg.eq, block=kc.iir_block,
-                unroll=kc.iir_unroll, interpret=kc.interpret,
-            )
-        return z, y
+    def _run_eq(self, y: jnp.ndarray, fs_out: int) -> jnp.ndarray:
+        cfg = self.config
+        kc = cfg.kernels
+        if kc.resolve("iir") == "jnp":
+            return equalize(y, fs_out, cfg.eq, block=kc.iir_block,
+                            unroll=kc.iir_unroll)
+        from ..ops.eq import equalize_pallas
+
+        return equalize_pallas(
+            y, fs_out, cfg.eq, block=kc.iir_block,
+            unroll=kc.iir_unroll, interpret=kc.interpret,
+        )
 
     def output_rate(self, fs: int) -> int:
         return self.config.src.output_rate(fs)

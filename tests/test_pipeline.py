@@ -121,3 +121,43 @@ def test_chain_pallas_kernel_paths(audio_short):
     assert fs1 == fs2
     assert z1.shape == z2.shape
     assert snr_db(np.asarray(z1), np.asarray(z2)) > 80.0
+
+
+def test_gain_space_property_sweep():
+    """Random points across the UI's full gain space stay above the gate."""
+    from dsp_audio_project_tpu.config import DEFAULT_BAND_NAMES
+    from conftest import make_test_signal
+
+    fs = 44100
+    x = make_test_signal(20000, fs, seed=17)
+    r = np.random.default_rng(99)
+    for _ in range(4):
+        gains = {n: int(r.integers(-15, 16)) for n in DEFAULT_BAND_NAMES}
+        cfg = PipelineConfig(src=SRCConfig(L=2, M=3),
+                             eq=EQConfig.from_gains(gains))
+        z, _ = process(x, fs, cfg)
+        want, _ = pipeline_oracle(x, fs, cfg.src, cfg.eq, engine="fast")
+        q = snr_db(want, np.asarray(z))
+        assert q > 60.0, f"gains={gains}: {q:.1f} dB"
+
+
+def test_long_form_minutes():
+    """Memory + correctness at production scale: minutes of audio.
+
+    (Two minutes on the CPU test backend; the 10-minute variant runs in
+    the bench/verify flow on TPU where it takes ~12 ms.)"""
+    from conftest import make_test_signal
+
+    fs = 44100
+    n = 120 * fs  # 5.3M samples
+    x = make_test_signal(n, fs, seed=23)
+    cfg = PipelineConfig(src=SRCConfig(L=160, M=147),
+                         eq=EQConfig.from_gains({"Bass": 6, "Presence": -4}))
+    z, fs_out = process(x, fs, cfg)
+    assert fs_out == 48000
+    z = np.asarray(z)
+    assert z.shape == (int(np.ceil(n * 160 / 147)),)
+    # Spot-check SNR on a 2-second window (full oracle at this size is slow).
+    w0 = 2_000_000
+    want, _ = pipeline_oracle(x, fs, cfg.src, cfg.eq, engine="fast")
+    assert snr_db(want[w0 : w0 + 96000], z[w0 : w0 + 96000]) > 60.0
