@@ -30,6 +30,7 @@ from .config import (
 from .io.signal_io import export_wav, load_signal
 from .io.wavio import read_wav, write_wav
 from .models.chain import AudioPipeline, PipelineOutputs
+from .models.graph import Chain, Clip, Equalize, Gain, Normalize, Resample, Stage
 from .ops.eq import equalize, equalize_stream
 from .ops.eq_dynamic import equalize_dynamic
 from .ops.spectrum import angular_spectrum, magnitude_spectrum, spectrum_db
@@ -47,6 +48,13 @@ def process(x, fs, config: PipelineConfig = PipelineConfig()):
 
 __all__ = [
     "AudioPipeline",
+    "Chain",
+    "Clip",
+    "Equalize",
+    "Gain",
+    "Normalize",
+    "Resample",
+    "Stage",
     "EQConfig",
     "KernelConfig",
     "MeshConfig",

@@ -1,2 +1,3 @@
 """Pipeline models (configured processing graphs)."""
 from .chain import AudioPipeline, PipelineOutputs
+from .graph import Chain, Clip, Equalize, Gain, Normalize, Resample, Stage
