@@ -33,7 +33,13 @@ from .models.chain import AudioPipeline, PipelineOutputs
 from .models.graph import Chain, Clip, Equalize, Gain, Normalize, Resample, Stage
 from .ops.eq import equalize, equalize_stream
 from .ops.eq_dynamic import equalize_dynamic
-from .ops.spectrum import angular_spectrum, magnitude_spectrum, spectrum_db
+from .ops.spectrum import (
+    angular_spectrum,
+    magnitude_spectrum,
+    spectrogram,
+    spectrum_db,
+    stft,
+)
 from .ops.src import resample
 from .streaming import StreamProcessor, StreamState
 
@@ -72,7 +78,9 @@ __all__ = [
     "process",
     "read_wav",
     "resample",
+    "spectrogram",
     "spectrum_db",
+    "stft",
     "StreamProcessor",
     "StreamState",
     "write_wav",

@@ -103,3 +103,57 @@ def angular_spectrum(segment: jnp.ndarray) -> Tuple[np.ndarray, jnp.ndarray]:
 def spectrum_db(mag: jnp.ndarray, floor: float = 1e-12) -> jnp.ndarray:
     """dB conversion used by the app's frequency view (app.py:208-210)."""
     return 20.0 * jnp.log10(mag + floor)
+
+
+@functools.partial(jax.jit, static_argnames=("nfft", "hop", "pad_end"))
+def stft(
+    x: jnp.ndarray,
+    nfft: int = 2048,
+    hop: int = 512,
+    pad_end: bool = True,
+) -> jnp.ndarray:
+    """Short-time Fourier transform: (..., N) -> (..., frames, nfft//2+1).
+
+    Hann-windowed (the reference's analysis window), hop-strided frames
+    through the batched rFFT — the framework's spectrogram workhorse (the
+    reference computes one window per signal; production analysis wants all
+    of them, which is exactly the batched-FFT shape TPUs like).
+
+    Frames are built from nfft/hop shifted views of hop-sample groups (no
+    gather); requires hop | nfft.  ``pad_end`` zero-pads so every sample is
+    covered; otherwise trailing samples short of a full window are dropped.
+    """
+    if nfft % hop:
+        raise ValueError(f"hop {hop} must divide nfft {nfft}")
+    n = x.shape[-1]
+    lead = x.shape[:-1]
+    r = nfft // hop
+    if pad_end:
+        frames = -(-n // hop)
+    else:
+        frames = max(0, (n - nfft) // hop + 1)
+    groups_total = frames + r - 1
+    total = groups_total * hop
+    xp = x.astype(jnp.float32)
+    if total > n:
+        xp = jnp.pad(xp, [(0, 0)] * (x.ndim - 1) + [(0, total - n)])
+    else:
+        xp = xp[..., :total]
+    g = xp.reshape(lead + (groups_total, hop))
+    parts = [
+        jax.lax.slice_in_dim(g, j, j + frames, axis=x.ndim - 1)
+        for j in range(r)
+    ]
+    win_frames = jnp.concatenate(parts, axis=-1)  # (..., frames, nfft)
+    win_frames = win_frames * jnp.asarray(_hann(nfft))
+    from .fft import rfft
+
+    return rfft(win_frames)
+
+
+def spectrogram(
+    x: jnp.ndarray, nfft: int = 2048, hop: int = 512
+) -> jnp.ndarray:
+    """Power spectrogram |STFT|^2: (..., frames, nfft//2+1)."""
+    s = stft(x, nfft=nfft, hop=hop)
+    return (s.real**2 + s.imag**2).astype(jnp.float32)

@@ -57,3 +57,36 @@ def test_short_tail_segment(rng):
     want = np.abs(np.fft.rfft(
         np.pad(x[1365:], (0, 2048 - 1366)) * np.hanning(2048)))
     np.testing.assert_allclose(np.asarray(m), want, rtol=1e-3, atol=1e-3)
+
+
+def test_stft_matches_direct_windows(rng):
+    from dsp_audio_project_tpu.ops.spectrum import stft
+
+    n, nfft, hop = 10000, 1024, 256
+    x = rng.standard_normal(n).astype(np.float32)
+    got = np.asarray(stft(jnp.asarray(x), nfft=nfft, hop=hop))
+    frames = -(-n // hop)
+    assert got.shape == (frames, nfft // 2 + 1)
+    win = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(nfft) / (nfft - 1))
+    xp = np.pad(x, (0, (frames + nfft // hop - 1) * hop - n))
+    for k in [0, 3, frames // 2, frames - 1]:
+        want = np.fft.rfft(xp[k * hop : k * hop + nfft] * win)
+        err = np.max(np.abs(got[k] - want)) / max(1e-9, np.max(np.abs(want)))
+        assert err < 1e-4, (k, err)
+
+
+def test_stft_batched_and_spectrogram(rng):
+    from dsp_audio_project_tpu.ops.spectrum import spectrogram, stft
+
+    x = rng.standard_normal((3, 8192)).astype(np.float32)
+    s = np.asarray(stft(jnp.asarray(x), nfft=512, hop=128))
+    assert s.shape == (3, 64, 257)
+    p = np.asarray(spectrogram(jnp.asarray(x), nfft=512, hop=128))
+    np.testing.assert_allclose(p, np.abs(s) ** 2, rtol=1e-4, atol=1e-4)
+
+
+def test_stft_hop_validation(rng):
+    from dsp_audio_project_tpu.ops.spectrum import stft
+
+    with pytest.raises(ValueError, match="divide"):
+        stft(jnp.zeros(1000), nfft=1024, hop=300)
