@@ -48,103 +48,157 @@ import jax
 import jax.numpy as jnp
 
 from ..config import EQConfig
+from ..utils import df32
 from ..utils.precision import einsum_f32, matmul_f32
 
 _HI = jax.lax.Precision.HIGHEST
 
 
-def _band_realization(w0: jnp.ndarray, gain_db: jnp.ndarray):
-    """One peaking biquad (Q=1) as (A 2x2, B 2, C 2, D), gain traced."""
+def _band_realization(w0: float, gain_db: jnp.ndarray):
+    """One peaking biquad (Q=1) as (A 2x2, B 2, C 2, D), gain traced.
+
+    All intermediate arithmetic runs in df32 (utils/df32): the pole geometry
+    amplifies realization rounding by ~1/dist(pole, unit circle) (~350x for
+    the 40 Hz band), so plain-f32 construction caps the whole dynamic path at
+    ~70 dB SNR.  With compensated construction the only f32 rounding left is
+    the final (A, B, C, D) store — measured ~108 dB vs the oracle.  w0 is
+    static: sin/cos are exact host-side float64 split into df32 constants.
+    """
+    import numpy as np
+
     f32 = jnp.float32
-    w0 = w0.astype(f32)
+    sin_w0 = df32.from_f64(np.sin(np.float64(w0)))
+    cos_w0 = df32.from_f64(np.cos(np.float64(w0)))
     g = gain_db.astype(f32)
-    amp = 10.0 ** (g / 40.0)
-    sin_w0 = jnp.sin(w0)
-    cos_w0 = jnp.cos(w0)
-    alpha = sin_w0 / 2.0
-    a0 = 1.0 + alpha / amp
-    a1 = -2.0 * cos_w0 / a0
-    a2 = (1.0 - alpha / amp) / a0
-    b0 = (1.0 + alpha * amp) / a0
+    # amp's own relative error only moves the pole radius by ~alpha*eps —
+    # harmless — so the f32 exp seed is promoted as-is to df32.
+    amp = df32.df(10.0 ** (g / 40.0))
+    one = df32.df(1.0)
+    alpha = df32.scale(sin_w0, 0.5)
+    al_over = df32.div(alpha, amp)     # alpha / A
+    al_times = df32.mul(alpha, amp)    # alpha * A
+    a0 = df32.add(one, al_over)
+    a1 = df32.div(df32.scale(cos_w0, -2.0), a0)
+    a2 = df32.div(df32.sub(one, al_over), a0)
+    b0 = df32.div(df32.add(one, al_times), a0)
     # b1 == a1 for the peaking EQ; numerator residual c(z) = c1 z + c0 with
     # c1 = b1 - b0 a1 = a1 (1 - b0), c0 = b2 - b0 a2.  1 - b0 in closed form
     # avoids cancellation: alpha (1/A - A) / a0.
-    one_minus_b0 = alpha * (1.0 / amp - amp) / a0
-    c1 = a1 * one_minus_b0
-    b2 = (1.0 - alpha * amp) / a0
-    c0 = b2 - b0 * a2
+    one_minus_b0 = df32.div(
+        df32.mul(alpha, df32.sub(df32.div(one, amp), amp)), a0
+    )
+    c1 = df32.mul(a1, one_minus_b0)
+    b2 = df32.div(df32.sub(one, al_times), a0)
+    c0 = df32.sub(b2, df32.mul(b0, a2))
 
-    m = -a1 / 2.0
+    m = df32.scale(a1, -0.5)
     # disc/4 in closed form: (sin w0)^2 (1/A^2 - 4) / (4 a0^2) — exact sign.
-    disc4 = sin_w0 * sin_w0 * (1.0 / (amp * amp) - 4.0) / (4.0 * a0 * a0)
-    is_complex = disc4 < 0.0
-    root = jnp.sqrt(jnp.abs(disc4))
+    disc4 = df32.div(
+        df32.mul(
+            df32.mul(sin_w0, sin_w0),
+            df32.sub(df32.div(one, df32.mul(amp, amp)), df32.df(4.0)),
+        ),
+        df32.scale(df32.mul(a0, a0), 4.0),
+    )
+    is_complex = df32.to_f32(disc4) < 0.0
+    neg_disc = jnp.signbit(disc4[0])
+    abs_disc = (
+        jnp.where(neg_disc, -disc4[0], disc4[0]),
+        jnp.where(neg_disc, -disc4[1], disc4[1]),
+    )
+    root = df32.sqrt(abs_disc)
+
+    def pack(a00, a01, a10, a11, b0v, b1v, c0v, c1v):
+        """Stack df scalars into df (2x2), (2,), (2,) matrices."""
+        A_hi = jnp.stack([jnp.stack([a00[0], a01[0]]),
+                          jnp.stack([a10[0], a11[0]])])
+        A_lo = jnp.stack([jnp.stack([a00[1], a01[1]]),
+                          jnp.stack([a10[1], a11[1]])])
+        B_hi = jnp.stack([b0v[0], b1v[0]])
+        B_lo = jnp.stack([b0v[1], b1v[1]])
+        C_hi = jnp.stack([c0v[0], c1v[0]])
+        C_lo = jnp.stack([c0v[1], c1v[1]])
+        return A_hi, A_lo, B_hi, B_lo, C_hi, C_lo
+
+    zero = df32.df(0.0)
+    one_c = df32.df(1.0)
 
     def complex_branch(_):
-        q = root
         # adj(zI-A) B with B=[1,0] is [z - m, -q]^T, so
         # C adj B = g1 z - g1 m - g2 q  =>  g1 = c1, g2 = -(c0 + c1 m)/q.
-        q_safe = jnp.maximum(q, jnp.float32(1e-30))
-        A = jnp.array([[0.0, 0.0], [0.0, 0.0]], f32).at[0, 0].set(m)
-        A = A.at[0, 1].set(q).at[1, 0].set(-q).at[1, 1].set(m)
-        B = jnp.array([1.0, 0.0], f32)
-        C = jnp.stack([c1, -(c0 + c1 * m) / q_safe])
-        return A, B, C
+        num = df32.add(c0, df32.mul(c1, m))
+        q_safe = (jnp.maximum(root[0], jnp.float32(1e-30)), root[1])
+        g2 = df32.neg(df32.div(num, q_safe))
+        return pack(m, root, df32.neg(root), m, one_c, zero, c1, g2)
 
     def real_branch(_):
-        l1 = m + root
-        l2 = m - root
-        # [[l1, 1], [0, l2]], B = [b_1, b_2], C = [g_1, g_2]:
-        # transfer numerator = g1 b1 (z - l2) + g1 b2 + g2 b2 (z - l1).
-        # Choose B = [1, 1]:  g1 + g2 = c1;  -g1 l2 + g1 - g2 l1 = c0.
-        # Solve: g2 = (c1 (1 - l2) - c0) / (1 - l2 + l1)??  Derive directly:
+        l1 = df32.add(m, root)
+        l2 = df32.sub(m, root)
+        # [[l1, 1], [0, l2]], B = [1, 1], C = [g_1, g_2]:
         #   g1 (z - l2) + g1 + g2 (z - l1) = (g1 + g2) z + (g1(1 - l2) - g2 l1)
         #   => g1 (1 - l2) - g2 l1 = c0 with g2 = c1 - g1
         #   => g1 (1 - l2 + l1) = c0 + c1 l1
-        denom = 1.0 - l2 + l1
-        g1 = (c0 + c1 * l1) / denom
-        g2 = c1 - g1
-        A = jnp.array([[0.0, 1.0], [0.0, 0.0]], f32).at[0, 0].set(l1)
-        A = A.at[1, 1].set(l2)
-        B = jnp.array([1.0, 1.0], f32)
-        C = jnp.stack([g1, g2])
-        return A, B, C
+        denom = df32.add(df32.sub(one, l2), l1)
+        g1 = df32.div(df32.add(c0, df32.mul(c1, l1)), denom)
+        g2 = df32.sub(c1, g1)
+        return pack(l1, one_c, zero, l2, one_c, one_c, g1, g2)
 
-    A, B, C = jax.lax.cond(is_complex, complex_branch, real_branch, None)
-    return A, B, C, b0
+    A_hi, A_lo, B_hi, B_lo, C_hi, C_lo = jax.lax.cond(
+        is_complex, complex_branch, real_branch, None
+    )
+    return (A_hi, A_lo), (B_hi, B_lo), (C_hi, C_lo), b0
 
 
 def _compose_cascade(bands):
-    """Series composition of (A, B, C, D) 2-state bands -> order-2n system.
+    """Series composition of df32 (A, B, C, D) 2-state bands -> order-2n.
 
     Same convention as design.biquad: y = C s_prev + D x, s = A s_prev + Bx.
+    All arithmetic compensated (df32): the block-operator algebra downstream
+    assumes the tables are *consistent* views of one exact system — ~1e-6 of
+    independent rounding noise per table entry gets amplified by the
+    resonant state magnitudes into ~1e-4 output error (measured), which is
+    what capped the dynamic path at ~73 dB before.
     """
     A_acc, B_acc, C_acc, D_acc = bands[0]
     for A2, B2, C2, D2 in bands[1:]:
-        d1 = A_acc.shape[0]
-        d2 = A2.shape[0]
-        top = jnp.concatenate([A_acc, jnp.zeros((d1, d2), jnp.float32)], axis=1)
-        bottom = jnp.concatenate(
-            [jnp.outer(B2, C_acc), A2], axis=1
+        d1 = A_acc[0].shape[0]
+        d2 = A2[0].shape[0]
+        zeros = jnp.zeros((d1, d2), jnp.float32)
+        BC = df32.outer(B2, C_acc)
+        A_acc = tuple(
+            jnp.concatenate(
+                [
+                    jnp.concatenate([A_acc[i], zeros], axis=1),
+                    jnp.concatenate([BC[i], A2[i]], axis=1),
+                ],
+                axis=0,
+            )
+            for i in range(2)
         )
-        A_acc = jnp.concatenate([top, bottom], axis=0)
-        B_acc = jnp.concatenate([B_acc, B2 * D_acc])
-        C_acc = jnp.concatenate([D2 * C_acc, C2])
-        D_acc = D2 * D_acc
+        B_tail = df32.mul(B2, (D_acc[0][None], D_acc[1][None]))
+        B_acc = tuple(jnp.concatenate([B_acc[i], B_tail[i]]) for i in range(2))
+        C_head = df32.mul(C_acc, (D2[0][None], D2[1][None]))
+        C_acc = tuple(jnp.concatenate([C_head[i], C2[i]]) for i in range(2))
+        D_acc = df32.mul(D_acc, D2)
     return A_acc, B_acc, C_acc, D_acc
 
 
-def _cumulative_powers(A: jnp.ndarray, count: int) -> jnp.ndarray:
-    """[I, A, A^2, ..., A^{count-1}] via log-depth associative scan."""
-    d = A.shape[0]
-    mats = jnp.broadcast_to(A, (count - 1, d, d))
+def _cumulative_powers(A, count: int):
+    """df32 [I, A, A^2, ..., A^{count-1}] via log-depth associative scan."""
+    d = A[0].shape[0]
+    hi = jnp.broadcast_to(A[0], (count - 1, d, d))
+    lo = jnp.broadcast_to(A[1], (count - 1, d, d))
 
     def combine(x, y):
-        return jnp.matmul(y, x, precision=_HI, preferred_element_type=jnp.float32)
+        return df32.mmul(y, x)
 
-    powers = jax.lax.associative_scan(combine, mats)  # A^1..A^{count-1}
+    ph, pl = jax.lax.associative_scan(combine, (hi, lo))  # A^1..A^{count-1}
     eye = jnp.eye(d, dtype=jnp.float32)[None]
-    return jnp.concatenate([eye, powers], axis=0)
+    zeros = jnp.zeros((1, d, d), jnp.float32)
+    return (
+        jnp.concatenate([eye, ph], axis=0),
+        jnp.concatenate([zeros, pl], axis=0),
+    )
 
 
 @functools.partial(
@@ -186,28 +240,40 @@ def equalize_dynamic(
     w0s = [2.0 * np.pi * fc / fs for fc in centers]
 
     bands = [
-        _band_realization(jnp.float32(w0s[i]), gains_db[i])
+        _band_realization(float(w0s[i]), gains_db[i])
         for i in range(len(w0s))
     ]
+    # Entire operator construction in df32; only the final tables round to
+    # f32, so they are f32-rounded views of ONE consistent exact system.
     A, Bv, Cv, D = _compose_cascade(bands)
-    d = A.shape[0]
+    d = A[0].shape[0]
 
     U, G = unroll, block // unroll
-    powers_u = _cumulative_powers(A, U + 1)          # (U+1, d, d)
-    A_U = powers_u[U]
-    group_out = einsum_f32("j,ujk->ku", Cv, powers_u[:U])       # (d, U)
-    group_in = einsum_f32("ujk,k->uj", powers_u[U - 1::-1], Bv)  # (U, d): A^{U-1-v} B
+    pu = _cumulative_powers(A, U + 1)                # df (U+1, d, d)
+    A_U_df = (pu[0][U], pu[1][U])
+    pu_head = (pu[0][:U], pu[1][:U])
+    C_b = (jnp.broadcast_to(Cv[0], (U, d)), jnp.broadcast_to(Cv[1], (U, d)))
+    CA_u = df32.vecmat(C_b, pu_head)                 # df (U, d): C A^u
+    group_out = df32.to_f32(CA_u).T                  # (d, U)
+    pu_rev = (pu[0][U - 1::-1], pu[1][U - 1::-1])
+    B_b = (jnp.broadcast_to(Bv[0], (U, d)), jnp.broadcast_to(Bv[1], (U, d)))
+    group_in = df32.to_f32(df32.mvec(pu_rev, B_b))   # (U, d): A^{U-1-v} B
     # group FIR: T[u, v] = C A^{u-1-v} B (v < u), D on diagonal.
-    seq = einsum_f32("j,ujk,k->u", Cv, powers_u[:U], Bv)        # C A^k B
+    seq = df32.to_f32(df32.dot(CA_u, B_b))           # (U,): C A^u B
     uu = jnp.arange(U)
     idx = uu[:, None] - 1 - uu[None, :]
     fir = jnp.where(idx >= 0, jnp.take(seq, jnp.clip(idx, 0, U - 1)), 0.0)
-    fir = fir + D * jnp.eye(U, dtype=f32)
+    fir = fir + df32.to_f32(D) * jnp.eye(U, dtype=f32)
 
-    powers_g = _cumulative_powers(A_U, G + 1)        # (G+1, d, d): (A^U)^g
-    A_blk = powers_g[G]                              # A^block
+    pg = _cumulative_powers(A_U_df, G + 1)           # df (G+1, d, d): (A^U)^g
+    A_U = df32.to_f32(A_U_df)
+    A_blk = pg[0][G] + pg[1][G]                      # A^block
     # corr rows: C A^{gU+u} = (C A^u) (A^U)^g — row vector times matrix.
-    corr = einsum_f32("gkj,ku->guj", powers_g[:G], group_out)   # (G, U, d)
+    CA_b = (
+        jnp.broadcast_to(CA_u[0], (G, U, d)),
+        jnp.broadcast_to(CA_u[1], (G, U, d)),
+    )
+    corr = df32.to_f32(df32.mmul(CA_b, (pg[0][:G], pg[1][:G])))  # (G, U, d)
     corr = corr.reshape(block, d)
 
     # ---- block-parallel recurrence (mirrors ops/eq with traced operators)

@@ -29,7 +29,7 @@ def test_dynamic_matches_oracle(gains):
     got = np.asarray(equalize_dynamic(jnp.asarray(x), jnp.asarray(gains), fs))
     assert got.shape == want.shape
     q = snr_db(want, np.clip(got, -1, 1))
-    assert q > 60.0, f"gains={gains}: {q:.1f} dB"
+    assert q > 110.0, f"gains={gains}: {q:.1f} dB"
 
 
 def test_dynamic_no_recompile():
@@ -52,7 +52,7 @@ def test_dynamic_matches_static_path():
     cfg = EQConfig.from_gains(dict(zip(names, gains)))
     stat = np.asarray(equalize(jnp.asarray(x), fs, cfg))
     dyn = np.asarray(equalize_dynamic(jnp.asarray(x), jnp.asarray(gains), fs))
-    assert snr_db(stat, dyn) > 60.0
+    assert snr_db(stat, dyn) > 95.0
 
 
 def test_dynamic_batched():
@@ -64,4 +64,4 @@ def test_dynamic_batched():
     cfg = EQConfig.from_gains(dict(zip(names, gains)))
     for c in range(2):
         want = equalize_oracle(xs[c], fs, cfg)
-        assert snr_db(want, got[c]) > 60.0
+        assert snr_db(want, got[c]) > 110.0

@@ -27,6 +27,60 @@ def test_precision_wrappers(rng):
         np.asarray(a) @ np.asarray(b), atol=1e-5)
 
 
+def test_df32_compensated_arithmetic(rng):
+    """df32 ops must hold ~45+ bits under jit — i.e. XLA's reassociation of
+    the error-free transforms is successfully blocked (utils/df32.py)."""
+    from dsp_audio_project_tpu.utils import df32
+
+    a64 = rng.uniform(0.5, 2.0, 64)
+    b64 = rng.uniform(0.5, 2.0, 64)
+
+    def split(x):
+        hi = np.float32(x)
+        return jnp.asarray(hi), jnp.asarray(np.float32(x - np.float64(hi)))
+
+    @jax.jit
+    def probe(ah, al, bh, bl):
+        x, y = (ah, al), (bh, bl)
+        return (df32.mul(x, y), df32.add(x, y), df32.sub(x, y),
+                df32.div(x, y), df32.sqrt(x))
+
+    m, s, d, q, r = probe(*split(a64), *split(b64))
+
+    def relerr(v, truth):
+        got = np.float64(np.asarray(v[0])) + np.float64(np.asarray(v[1]))
+        return np.max(np.abs(got - truth) / np.abs(truth))
+
+    assert relerr(m, a64 * b64) < 1e-12
+    assert relerr(s, a64 + b64) < 1e-12
+    assert relerr(d, a64 - b64) < 1e-10   # subtraction may cancel
+    assert relerr(q, a64 / b64) < 1e-11
+    assert relerr(r, np.sqrt(a64)) < 1e-12
+
+    # the cancellation-amplification chain that broke before the barriers:
+    # 1 + tiny must keep the tiny part to df precision.
+    @jax.jit
+    def chain(t_hi, t_lo):
+        return df32.add(df32.df(1.0), (t_hi, t_lo))
+
+    tiny = 2.849501721230871e-3
+    got = chain(*split(np.float64(tiny)))
+    err = abs(np.float64(got[0]) + np.float64(got[1]) - (1.0 + tiny))
+    assert err < 1e-12
+
+    # small dense linalg: df32 matmul of ill-scaled mats vs float64
+    A = rng.uniform(-1, 1, (12, 12))
+    B = rng.uniform(-1, 1, (12, 12))
+
+    @jax.jit
+    def pm(Ah, Al, Bh, Bl):
+        return df32.mmul((Ah, Al), (Bh, Bl))
+
+    Ph, Pl = pm(*split(A), *split(B))
+    got = np.float64(np.asarray(Ph)) + np.float64(np.asarray(Pl))
+    assert np.max(np.abs(got - A @ B)) < 1e-12
+
+
 def test_mesh_construction():
     mesh = build_mesh(MeshConfig(channel_devices=2, block_devices=4))
     assert mesh.shape == {"channel": 2, "block": 4}
