@@ -167,11 +167,11 @@ class KernelConfig:
 
     fir_path: str = "auto"           # 'auto' | 'pallas' | 'jnp'
     iir_path: str = "auto"
-    # (block, unroll) sweet spot from the device-profile sweep on v5e
-    # (332 us/60s-signal at 8192/256; 4.4x over 256/16).  Streaming uses its
-    # own smaller default (ops/eq.equalize_stream).
-    iir_block: int = 8192            # within-block sequential length for the IIR scan
-    iir_unroll: int = 256            # samples advanced per scan step (matmul group)
+    # (block, unroll) sweet spot from the device-profile sweep (scan-free
+    # Toeplitz recurrence, batch-8: 221 us/60s-signal at 8192/128).
+    # Streaming uses its own smaller default (ops/eq.equalize_stream).
+    iir_block: int = 8192            # block length for the IIR block recurrence
+    iir_unroll: int = 128            # samples per matmul group within a block
     fir_frame_tile: int = 512        # frame rows per MXU tile in the FIR kernel
     interpret: bool = False          # run Pallas kernels in interpreter mode
 

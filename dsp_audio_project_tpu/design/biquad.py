@@ -157,6 +157,12 @@ class BlockOperators:
     group_in: np.ndarray
     group_out: np.ndarray
     group_fir: np.ndarray
+    # (G*d, G*d) with G = block//unroll: block-Toeplitz map from the G group
+    # injections inj_v to the states [s_1..s_G] — block (v, r) is
+    # (A^U)^{r-v} for v <= r, zero above.  Lets the within-block state
+    # evolution run as ONE matmul instead of a G-step lax.scan (the scan's
+    # per-step while-loop overhead dominated the whole EQ on TPU).
+    group_toeplitz: np.ndarray
 
 
 def block_operators(ss: StateSpace, block: int, unroll: int = 16) -> BlockOperators:
@@ -192,8 +198,16 @@ def block_operators(ss: StateSpace, block: int, unroll: int = 16) -> BlockOperat
         group_fir[u, u] = D32
         for v in range(u):
             group_fir[u, v] = C32 @ pows[u - 1 - v] @ B32
+
+    # Row-vector convention (device computes inj_flat @ toe): block (v, r)
+    # holds (A^{U(r-v)})^T so that S[r] = sum_v A^{U(r-v)} inj_v = s_{r+1}.
+    G = block // U
+    toe = np.zeros((G * d, G * d))
+    for r in range(G):
+        for v in range(r + 1):
+            toe[v * d:(v + 1) * d, r * d:(r + 1) * d] = pows[(r - v) * U].T
     return BlockOperators(
         A=A32, B=B32, C=C32, D=D32, corr=corr, state_corr=Apow, block=block,
         unroll=U, group_A=group_A, group_in=group_in, group_out=group_out,
-        group_fir=group_fir,
+        group_fir=group_fir, group_toeplitz=toe,
     )

@@ -65,36 +65,44 @@ def make_block_operators(
 def _block_recurrence(
     xb: jnp.ndarray, ops: BlockOperators
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Zero-init recurrence on (..., K, block) blocks.
+    """Zero-init recurrence on (..., K, block) blocks — scan-free.
 
     Returns (y0, end_states): provisional outputs (..., K, block) and the
     per-block final states (..., K, d).
+
+    Everything is a large static matmul (MXU work) — no lax.scan: the
+    earlier G-step scan spent most of the EQ's device time in while-loop
+    machinery (dynamic-update-slice of the stacked outputs per step), not
+    math.  Stages:
+      1. inj[g]  = sum_u A^{U-1-u} B x[gU+u]      — one (U, d) matmul;
+      2. [s_1..s_G] = inj @ group_toeplitz        — one (G d, G d) matmul
+         (s_g is the state entering group g; s_0 = 0, s_G = end state);
+      3. y0 = x @ group_fir^T + s @ group_out     — two matmuls.
     """
     d = ops.A.shape[0]
     U = ops.unroll
     block = xb.shape[-1]
-    groups = block // U
-    gA = jnp.asarray(ops.group_A.T, dtype=jnp.float32)    # used as s @ A_U^T
-    gIn = jnp.asarray(ops.group_in, dtype=jnp.float32)    # (U, d)
-    gOut = jnp.asarray(ops.group_out, dtype=jnp.float32)  # (d, U)
-    gFir = jnp.asarray(ops.group_fir.T, dtype=jnp.float32)  # (U, U), x @ this
+    G = block // U
+    gIn = jnp.asarray(ops.group_in, dtype=jnp.float32)        # (U, d)
+    gOut = jnp.asarray(ops.group_out, dtype=jnp.float32)      # (d, U)
+    gFir = jnp.asarray(ops.group_fir.T, dtype=jnp.float32)    # (U, U)
+    toe = jnp.asarray(ops.group_toeplitz, dtype=jnp.float32)  # (G d, G d)
 
     lead = xb.shape[:-1]
-    s0 = jnp.zeros(lead + (d,), dtype=jnp.float32)
-
-    def step(s, x_g):
-        # U samples per step: y_g = C A^u s (+ group FIR);  s' = A^U s + inj.
-        y_g = vecmat_f32(s, gOut) + vecmat_f32(x_g, gFir)
-        s_next = vecmat_f32(s, gA) + vecmat_f32(x_g, gIn)
-        return s_next, y_g
-
-    # scan over the group axis: move it to front.
-    x_g = jnp.moveaxis(
-        xb.reshape(lead + (groups, U)), -2, 0
-    )  # (groups, ..., K, U)
-    s_end, y_t = jax.lax.scan(step, s0, x_g)
-    y0 = jnp.moveaxis(y_t, 0, -2).reshape(lead + (block,))
-    return y0, s_end
+    x_g = xb.reshape(lead + (G, U))                           # (..., K, G, U)
+    inj = einsum_f32("...gu,ud->...gd", x_g, gIn)             # (..., K, G, d)
+    s_tail = einsum_f32(
+        "...x,xy->...y", inj.reshape(lead + (G * d,)), toe
+    ).reshape(lead + (G, d))                                  # s_1..s_G
+    end_states = s_tail[..., G - 1, :]
+    s_in = jnp.concatenate(
+        [jnp.zeros(lead + (1, d), jnp.float32), s_tail[..., : G - 1, :]],
+        axis=-2,
+    )                                                         # s_0..s_{G-1}
+    y0 = einsum_f32("...gu,uv->...gv", x_g, gFir) + einsum_f32(
+        "...gd,du->...gu", s_in, gOut
+    )
+    return y0.reshape(lead + (block,)), end_states
 
 
 def _carry_states(
@@ -141,7 +149,7 @@ def _carry_states(
 
 @functools.partial(jax.jit, static_argnames=('fs', 'cfg', 'block', 'unroll'))
 def equalize(x: jnp.ndarray, fs: int, cfg: EQConfig, block: int = 8192,
-             unroll: int = 256) -> jnp.ndarray:
+             unroll: int = 128) -> jnp.ndarray:
     """Apply the EQ cascade to (..., N) float32 signals.
 
     Matches the golden oracle (sequential lfilter cascade) to float32
