@@ -29,9 +29,10 @@ module rebuilds the whole design pipeline *inside* the traced graph:
     only rounding here; see semantics note below).
 
 4.  **In-graph block operators.**  The group tables (C A^u, A^{U-1-v} B,
-    the group FIR Toeplitz) come from one associative cumulative product of
-    U copies of A; the block correction rows come from composing those with
-    cumulative products of A^U — log-depth everywhere, no long scans.
+    the group FIR Toeplitz, the within-block group Toeplitz) come from one
+    associative cumulative product of U copies of A composed with cumulative
+    products of A^U — log-depth everywhere; the data path itself is the same
+    scan-free four-matmul structure as the static ops/eq path.
 
 Semantics vs the reference: the static path reproduces the reference's
 |gain| <= 0.1 dB band-skip and the all-flat bypass *exactly*; here a small
@@ -209,8 +210,8 @@ def equalize_dynamic(
     gains_db: jnp.ndarray,
     fs: int,
     cfg: EQConfig = EQConfig(),
-    block: int = 1024,
-    unroll: int = 64,
+    block: int = 8192,
+    unroll: int = 128,
 ) -> jnp.ndarray:
     """EQ with traced gains: one compile serves every gain vector.
 
@@ -266,7 +267,6 @@ def equalize_dynamic(
     fir = fir + df32.to_f32(D) * jnp.eye(U, dtype=f32)
 
     pg = _cumulative_powers(A_U_df, G + 1)           # df (G+1, d, d): (A^U)^g
-    A_U = df32.to_f32(A_U_df)
     A_blk = pg[0][G] + pg[1][G]                      # A^block
     # corr rows: C A^{gU+u} = (C A^u) (A^U)^g — row vector times matrix.
     CA_b = (
@@ -276,6 +276,18 @@ def equalize_dynamic(
     corr = df32.to_f32(df32.mmul(CA_b, (pg[0][:G], pg[1][:G])))  # (G, U, d)
     corr = corr.reshape(block, d)
 
+    # In-graph block Toeplitz (same scan-free structure as ops/eq): block
+    # (v, r) holds ((A^U)^{r-v})^T; built by gathering the df-exact powers.
+    pow_T = jnp.swapaxes(pg[0][:G] + pg[1][:G], -1, -2)   # (G, d, d) f32
+    rr = jnp.arange(G)
+    diff = rr[None, :] - rr[:, None]                      # (v, r) -> r - v
+    toe = jnp.where(
+        (diff >= 0)[:, :, None, None],
+        jnp.take(pow_T, jnp.clip(diff, 0, G - 1), axis=0),
+        0.0,
+    )                                                     # (G, G, d, d)
+    toe = jnp.transpose(toe, (0, 2, 1, 3)).reshape(G * d, G * d)
+
     # ---- block-parallel recurrence (mirrors ops/eq with traced operators)
     n = x.shape[-1]
     K = -(-n // block)
@@ -284,25 +296,19 @@ def equalize_dynamic(
     xb = xb.reshape(x.shape[:-1] + (K, block))
     lead = xb.shape[:-1]
 
-    gA_T = A_U.T
-    gOut = group_out
-    gFir_T = fir.T
-
-    def step(s, x_g):
-        y_g = (
-            jnp.matmul(s, gOut, precision=_HI, preferred_element_type=f32)
-            + jnp.matmul(x_g, gFir_T, precision=_HI, preferred_element_type=f32)
-        )
-        s_next = (
-            jnp.matmul(s, gA_T, precision=_HI, preferred_element_type=f32)
-            + jnp.matmul(x_g, group_in, precision=_HI, preferred_element_type=f32)
-        )
-        return s_next, y_g
-
-    x_g = jnp.moveaxis(xb.reshape(lead + (G, U)), -2, 0)
-    s0 = jnp.zeros(lead + (d,), dtype=f32)
-    e_states, y_t = jax.lax.scan(step, s0, x_g)
-    y0 = jnp.moveaxis(y_t, 0, -2).reshape(lead + (block,))
+    x_g = xb.reshape(lead + (G, U))                       # (..., K, G, U)
+    inj = einsum_f32("...gu,ud->...gd", x_g, group_in)    # (..., K, G, d)
+    s_tail = einsum_f32(
+        "...x,xy->...y", inj.reshape(lead + (G * d,)), toe
+    ).reshape(lead + (G, d))                              # s_1..s_G
+    e_states = s_tail[..., G - 1, :]
+    s_in = jnp.concatenate(
+        [jnp.zeros(lead + (1, d), f32), s_tail[..., : G - 1, :]], axis=-2
+    )
+    y0 = einsum_f32("...gu,uv->...gv", x_g, fir.T) + einsum_f32(
+        "...gd,du->...gu", s_in, group_out
+    )
+    y0 = y0.reshape(lead + (block,))
 
     # carry scan over blocks
     k_axis = e_states.ndim - 2
