@@ -59,9 +59,13 @@ def main() -> None:
         src=SRCConfig(L=160, M=147), eq=EQConfig.from_gains(GAINS)
     )
     pipe = AudioPipeline(cfg)
-    fn = pipe.jit_forward()
-
-    log(f"device: {jax.devices()[0]}")
+    # Fused frame-major path (shear FIR kernel -> frames EQ): no lane
+    # retile on device; flat view is free on host.  Falls back to the flat
+    # path when the config/input is outside the fused regime.
+    fused = pipe.frames_supported(n)
+    fn = pipe.jit_forward_frames() if fused else pipe.jit_forward()
+    n_out = cfg.src.output_length(n)
+    log(f"device: {jax.devices()[0]}  fused_frames={fused}")
 
     # Measurement rules for this backend (utils/benchmarking.py):
     #   1. identical input buffers hit an execution cache -> every timed
@@ -96,6 +100,10 @@ def main() -> None:
     z.block_until_ready()
     log(f"compile+first-run: {time.perf_counter() - t0:.2f}s")
 
+    def to_flat(arr):
+        a = np.asarray(arr)
+        return a.reshape(-1)[:n_out] if fused else a
+
     # Profiler device timeline is the stable ground truth (wall clock through
     # the remote tunnel carries multi-x jitter); the batch-size differential
     # is the fallback when tracing is unavailable.
@@ -123,7 +131,7 @@ def main() -> None:
 
     # Accuracy vs oracle (fft engine: identical math to ~1e-13, tractable).
     want, fs_want = pipeline_oracle(x, FS, cfg.src, cfg.eq, engine="fast")
-    q = snr_db(want, np.asarray(z))
+    q = snr_db(want, to_flat(z))
     log(f"output snr vs reference oracle: {q:.1f} dB (gate 60)")
 
     # Reference-algorithm baseline on host CPU.  The reference's direct

@@ -111,3 +111,49 @@ class AudioPipeline:
     def jit_forward(self):
         """The raw jitted (x, fs) -> (z, y) function (for benchmarking)."""
         return self._jitted
+
+    # ---- fused frame-major fast path -----------------------------------
+    #
+    # The shear FIR kernel (kernels/fir_shear.py) emits (..., F, P) frames
+    # and equalize_frames consumes them at unroll = P — no 128-misaligned
+    # retile anywhere on the device.  The flat signal is
+    # frames.reshape(..., F*P)[..., :n_out], a zero-cost view once fetched
+    # to host.  XLA's generic lane-retile while-loops were ~half the whole
+    # chain's device time, so this is the serving-path default.
+
+    def frames_supported(self, n: int) -> bool:
+        """True when the fused frame-major path covers this input."""
+        cfg = self.config
+        if cfg.src.bypass:
+            return False
+        from ..ops.src import make_plan
+
+        plan = make_plan(cfg.src.L, cfg.src.M, cfg.src.taps_rule_factor)
+        return plan.s >= 8 and n * cfg.src.L >= cfg.src.num_taps
+
+    def _forward_frames(self, x: jnp.ndarray, fs: int):
+        """(x, fs) -> (z_frames, y_frames): frame-major SRC->EQ.
+
+        z/y flat = frames.reshape(..., -1)[..., :output_length(n)].
+        """
+        from ..kernels.fir_shear import polyphase_fir_shear_frames
+        from ..ops.eq import equalize_frames
+        from ..ops.src import make_plan
+        from ..utils.profiling import trace_stage
+
+        cfg = self.config
+        plan = make_plan(cfg.src.L, cfg.src.M, cfg.src.taps_rule_factor)
+        n_out = cfg.src.output_length(x.shape[-1])
+        fs_out = cfg.src.output_rate(fs)
+        with trace_stage("src_shear"):
+            y_frames = polyphase_fir_shear_frames(
+                x.astype(jnp.float32), plan, n_out, pad_frames=True,
+                interpret=cfg.kernels.interpret,
+            )
+        with trace_stage("eq_frames"):
+            z_frames = equalize_frames(y_frames, fs_out, cfg.eq)
+        return z_frames, y_frames
+
+    def jit_forward_frames(self):
+        """Jitted fused (x, fs) -> (z_frames, y_frames); see frames_supported."""
+        return jax.jit(self._forward_frames, static_argnums=(1,))

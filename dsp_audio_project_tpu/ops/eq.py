@@ -79,17 +79,32 @@ def _block_recurrence(
          (s_g is the state entering group g; s_0 = 0, s_G = end state);
       3. y0 = x @ group_fir^T + s @ group_out     — two matmuls.
     """
-    d = ops.A.shape[0]
     U = ops.unroll
     block = xb.shape[-1]
     G = block // U
+    lead = xb.shape[:-1]
+    x_g = xb.reshape(lead + (G, U))                           # (..., K, G, U)
+    y0, end_states = _grouped_recurrence(x_g, ops)
+    return y0.reshape(lead + (block,)), end_states
+
+
+def _grouped_recurrence(
+    x_g: jnp.ndarray, ops: BlockOperators
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """The scan-free core on pre-grouped input (..., K, G, U).
+
+    Returns (y0 (..., K, G, U), end_states (..., K, d)).  Keeping the
+    grouped shape end-to-end lets frame-major producers (the shear FIR
+    kernel) feed the EQ with zero layout changes.
+    """
+    d = ops.A.shape[0]
+    G = x_g.shape[-2]
+    lead = x_g.shape[:-2]
     gIn = jnp.asarray(ops.group_in, dtype=jnp.float32)        # (U, d)
     gOut = jnp.asarray(ops.group_out, dtype=jnp.float32)      # (d, U)
     gFir = jnp.asarray(ops.group_fir.T, dtype=jnp.float32)    # (U, U)
     toe = jnp.asarray(ops.group_toeplitz, dtype=jnp.float32)  # (G d, G d)
 
-    lead = xb.shape[:-1]
-    x_g = xb.reshape(lead + (G, U))                           # (..., K, G, U)
     inj = einsum_f32("...gu,ud->...gd", x_g, gIn)             # (..., K, G, d)
     s_tail = einsum_f32(
         "...x,xy->...y", inj.reshape(lead + (G * d,)), toe
@@ -102,7 +117,7 @@ def _block_recurrence(
     y0 = einsum_f32("...gu,uv->...gv", x_g, gFir) + einsum_f32(
         "...gd,du->...gu", s_in, gOut
     )
-    return y0.reshape(lead + (block,)), end_states
+    return y0, end_states
 
 
 def _carry_states(
@@ -164,6 +179,50 @@ def equalize(x: jnp.ndarray, fs: int, cfg: EQConfig, block: int = 8192,
         return jnp.clip(x, -1.0, 1.0)
     ops = make_block_operators(bands, int(fs), cfg.q, block, unroll)
     y = _equalize_blocks(x.astype(jnp.float32), ops)
+    return jnp.clip(y, -1.0, 1.0)
+
+
+def equalize_frames(
+    frames: jnp.ndarray,
+    fs: int,
+    cfg: EQConfig,
+    groups_per_block: int = 128,
+) -> jnp.ndarray:
+    """EQ on frame-major input (..., F, P) -> frame-major output, clipped.
+
+    The fused SRC->EQ handoff: the shear FIR kernel emits P-wide frames,
+    and this path consumes them with unroll = P and block = G*P so that
+    every reshape between the two stages (and inside the EQ) is a free
+    leading-axis regroup — no 128-misaligned lane retile anywhere.  The
+    flat signal is frames.reshape(..., F*P) — a zero-cost view on host.
+
+    Semantics identical to ``equalize`` on the flattened signal (same
+    operators, same carry algebra; zero-padded tail blocks sliced off).
+    """
+    if cfg.bypass:
+        return frames
+    P = frames.shape[-1]
+    F = frames.shape[-2]
+    bands = cfg.active_bands(fs)
+    if not bands:
+        return jnp.clip(frames, -1.0, 1.0)
+    G = groups_per_block
+    ops = make_block_operators(bands, int(fs), cfg.q, G * P, P)
+    lead = frames.shape[:-2]
+    K = -(-F // G)
+    pad = K * G - F
+    x_g = jnp.pad(
+        frames.astype(jnp.float32),
+        [(0, 0)] * len(lead) + [(0, pad), (0, 0)],
+    ).reshape(lead + (K, G, P))
+    y0, end_states = _grouped_recurrence(x_g, ops)
+    sigma = _carry_states(end_states, ops)                    # (..., K, d)
+    d = ops.A.shape[0]
+    corr_g = jnp.asarray(
+        ops.corr.reshape(G, P, d), dtype=jnp.float32
+    )
+    y = y0 + einsum_f32("...kd,gud->...kgu", sigma, corr_g)
+    y = y.reshape(lead + (K * G, P))[..., :F, :]
     return jnp.clip(y, -1.0, 1.0)
 
 

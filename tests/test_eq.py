@@ -115,3 +115,26 @@ def test_eq_streaming_matches_oneshot(audio_short, split):
     got = np.concatenate([np.asarray(y1), np.asarray(y2)])
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_equalize_frames_matches_flat():
+    """Frame-major EQ (the fused SRC->EQ handoff) equals the flat path."""
+    from dsp_audio_project_tpu.ops.eq import equalize_frames
+
+    rng = np.random.default_rng(11)
+    P, F = 160, 731
+    fs = 48000
+    cfg = EQConfig.from_gains({"Sub-Bass": 5.0, "Bass": -2.0,
+                               "High Mids": 3.0, "Brilliance": -7.0})
+    x = (0.4 * rng.standard_normal((2, F * P))).astype(np.float32)
+    want = np.asarray(equalize(jnp.asarray(x), fs, cfg))
+    got = np.asarray(
+        equalize_frames(jnp.asarray(x.reshape(2, F, P)), fs, cfg)
+    ).reshape(2, -1)
+    assert snr_db(want, got) > 110.0
+
+    # bypass semantics
+    flat_cfg = EQConfig.from_gains({})
+    fr = jnp.asarray(x.reshape(2, F, P))
+    out = equalize_frames(fr, fs, flat_cfg)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(fr))

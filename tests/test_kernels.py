@@ -125,3 +125,48 @@ def test_fir_dma_kernel_matches_oracle():
     for c in range(2):
         want, _ = resample_oracle(xs[c], fs, cfg, engine="fast")
         assert snr_db(want, got[c]) > 60.0
+
+
+def test_fir_shear_kernel_matches_xla_path():
+    """Shear kernel (interpret) vs the XLA frame path, incl. batch + both
+    rate directions and the frame-major/flat equivalence."""
+    from dsp_audio_project_tpu.kernels.fir_shear import (
+        polyphase_fir_shear_frames,
+    )
+    from dsp_audio_project_tpu.ops.src import _resample_frames
+
+    rng = np.random.default_rng(3)
+    for L, M, n in [(160, 147, 44100), (147, 160, 30011)]:
+        plan = make_plan(L, M)
+        n_out = int(np.ceil(n * L / M))
+        x = (0.3 * rng.standard_normal(n)).astype(np.float32)
+        want = np.asarray(_resample_frames(jnp.asarray(x), plan, n, n_out))
+        got = np.asarray(
+            polyphase_fir_shear_frames(jnp.asarray(x), plan, n_out,
+                                       interpret=True)
+        )
+        assert got.shape == (-(-n_out // plan.P), plan.P)
+        assert np.max(np.abs(got.reshape(-1)[:n_out] - want)) < 1e-5
+
+    # batched + pad_frames tile alignment
+    plan = make_plan(160, 147)
+    n = 20000
+    n_out = int(np.ceil(n * 160 / 147))
+    xs = (0.3 * rng.standard_normal((2, n))).astype(np.float32)
+    want = np.asarray(_resample_frames(jnp.asarray(xs), plan, n, n_out))
+    got = np.asarray(
+        polyphase_fir_shear_frames(jnp.asarray(xs), plan, n_out,
+                                   interpret=True, pad_frames=True)
+    )
+    assert got.shape[-2] % 128 == 0
+    assert np.max(np.abs(got.reshape(2, -1)[:, :n_out] - want)) < 1e-5
+
+
+def test_fir_shear_rejects_narrow_stride():
+    from dsp_audio_project_tpu.kernels.fir_shear import (
+        polyphase_fir_shear_frames,
+    )
+
+    plan = make_plan(8, 7)  # s = 7
+    with pytest.raises(ValueError, match="s>=8"):
+        polyphase_fir_shear_frames(jnp.zeros(1000), plan, 1143, interpret=True)

@@ -161,3 +161,22 @@ def test_long_form_minutes():
     w0 = 2_000_000
     want, _ = pipeline_oracle(x, fs, cfg.src, cfg.eq, engine="fast")
     assert snr_db(want[w0 : w0 + 96000], z[w0 : w0 + 96000]) > 60.0
+
+
+def test_fused_frames_chain_matches_flat_path(audio_44k):
+    """jit_forward_frames == jit_forward (flattened), and matches oracle."""
+    from dsp_audio_project_tpu.config import KernelConfig
+
+    x, fs = audio_44k
+    cfg = PipelineConfig(src=SRCConfig(L=160, M=147),
+                         eq=EQConfig.from_gains({"Bass": 6.0, "Presence": -4.0}),
+                         kernels=KernelConfig(interpret=True))
+    pipe = AudioPipeline(cfg)
+    assert pipe.frames_supported(len(x))
+    n_out = cfg.src.output_length(len(x))
+    zf, yf = pipe.jit_forward_frames()(jnp.asarray(x), fs)
+    z_flat = np.asarray(zf).reshape(-1)[:n_out]
+    z_ref, _ = pipe.jit_forward()(jnp.asarray(x), fs)
+    assert snr_db(np.asarray(z_ref), z_flat) > 110.0
+    want, _ = pipeline_oracle(x, fs, cfg.src, cfg.eq, engine="fast")
+    assert snr_db(want, z_flat) > 60.0
