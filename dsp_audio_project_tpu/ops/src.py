@@ -154,6 +154,42 @@ def _resample_jit(x: jnp.ndarray, cfg: SRCConfig) -> jnp.ndarray:
     return _resample_frames(x, plan, n, n_out)
 
 
+def shifted_frames_matmul(
+    x: jnp.ndarray, plan: PolyphasePlan, num_frames: int, pad_left: int
+) -> jnp.ndarray:
+    """Polyphase classes via J shifted MXU matmuls (the s >= 8 regime).
+
+    ``x`` is the raw (..., N) signal; after left-padding by ``pad_left``
+    its index 0 must be frame 0's window start (k*s + lo + pad_left == 0
+    for k = 0).  Returns (..., num_frames, P).  Shared by the unsharded op
+    and the shard-local path (parallel/pipeline.py), which hands in the
+    halo-extended local signal with pad_left = lo + halo_left == 0.
+    """
+    if pad_left < 0:  # window start lies inside x: drop the lead instead
+        x = x[..., -pad_left:]
+        pad_left = 0
+    lead = x.shape[:-1]
+    n = x.shape[-1]
+    g_mat = jnp.asarray(plan.G, dtype=jnp.float32)
+    J = -(-plan.W // plan.s)
+    groups_total = num_frames + J
+    total_len = groups_total * plan.s
+    pad_right = max(0, total_len - pad_left - n)
+    xp = jnp.pad(
+        x, [(0, 0)] * (x.ndim - 1) + [(pad_left, pad_right)]
+    )[..., :total_len]
+    x2 = xp.reshape(lead + (groups_total, plan.s))
+    g_pad = jnp.pad(g_mat, ((0, J * plan.s - plan.W), (0, 0)))
+    acc = None
+    for j in range(J):
+        chunk = jax.lax.slice_in_dim(x2, j, j + num_frames, axis=x2.ndim - 2)
+        term = einsum_f32(
+            "...ks,sp->...kp", chunk, g_pad[j * plan.s : (j + 1) * plan.s]
+        )
+        acc = term if acc is None else acc + term
+    return acc
+
+
 def _resample_frames(
     x: jnp.ndarray, plan: PolyphasePlan, n: int, n_out: int
 ) -> jnp.ndarray:
@@ -175,24 +211,9 @@ def _resample_frames(
     g_mat = jnp.asarray(plan.G, dtype=jnp.float32)
 
     if plan.s >= 8:
-        J = -(-plan.W // plan.s)
-        groups_total = num_frames + J
-        total_len = groups_total * plan.s
-        pad_right = max(0, total_len - pad_left - n)
-        xp = jnp.pad(
-            x.astype(jnp.float32),
-            [(0, 0)] * (x.ndim - 1) + [(pad_left, pad_right)],
-        )[..., :total_len]
-        x2 = xp.reshape(lead + (groups_total, plan.s))
-        g_pad = jnp.pad(g_mat, ((0, J * plan.s - plan.W), (0, 0)))
-        acc = None
-        for j in range(J):
-            chunk = jax.lax.slice_in_dim(x2, j, j + num_frames, axis=x2.ndim - 2)
-            term = einsum_f32(
-                "...ks,sp->...kp", chunk, g_pad[j * plan.s : (j + 1) * plan.s]
-            )
-            acc = term if acc is None else acc + term
-        classes = acc
+        classes = shifted_frames_matmul(
+            x.astype(jnp.float32), plan, num_frames, pad_left
+        )
     else:
         max_idx = (num_frames - 1) * plan.s + plan.W - 1 + plan.lo
         pad_right = max(0, max_idx - (n - 1))

@@ -120,12 +120,19 @@ def _local_resample(
         parts.append(right)
     x_ext = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else x_loc
 
-    k = np.arange(sp.frames_local, dtype=np.int32)[:, None]
-    w = np.arange(plan.W, dtype=np.int32)[None, :]
-    idx = jnp.asarray(k * plan.s + w + (plan.lo + hl))
-    frames = jnp.take(x_ext, idx, axis=-1)  # (..., K, W)
-    g_mat = jnp.asarray(plan.G, dtype=jnp.float32)
-    classes = einsum_f32("...kw,wp->...kp", frames, g_mat)
+    if plan.s >= 8:
+        # Shifted-matmul formulation (shared with ops/src): frame 0's
+        # window starts at index lo + hl of the halo-extended signal.
+        classes = src_ops.shifted_frames_matmul(
+            x_ext, plan, sp.frames_local, -(plan.lo + hl)
+        )
+    else:
+        k = np.arange(sp.frames_local, dtype=np.int32)[:, None]
+        w = np.arange(plan.W, dtype=np.int32)[None, :]
+        idx = jnp.asarray(k * plan.s + w + (plan.lo + hl))
+        frames = jnp.take(x_ext, idx, axis=-1)  # (..., K, W)
+        g_mat = jnp.asarray(plan.G, dtype=jnp.float32)
+        classes = einsum_f32("...kw,wp->...kp", frames, g_mat)
     return classes.reshape(x_loc.shape[:-1] + (sp.n_out_local,))
 
 
@@ -193,16 +200,44 @@ def build_sharded_pipeline(
         else None
     )
 
+    # Host tables for the one-pass carry composition: (A^block)^k maps the
+    # shard's incoming state onto block k's correction (carry linearity:
+    # sigma_k(sigma0) = sigma_k(0) + (A^block)^k sigma0).
+    if eq_active:
+        d = ops.A.shape[0]
+        K_loc = sp.n_out_local // ops.block
+        pows_k = np.zeros((K_loc, d, d))
+        acc = np.eye(d)
+        for k_i in range(K_loc):
+            pows_k[k_i] = acc
+            acc = acc @ ops.state_corr
+        pows_k_dev = jnp.asarray(pows_k, dtype=jnp.float32)
+
     def local_fn(x_loc):
         # x_loc: (C_local, n_in_local)
         y_loc = _local_resample(x_loc.astype(jnp.float32), plan, sp)
         if not eq_active:
             z_loc = jnp.clip(y_loc, -1.0, 1.0) if not eq_cfg.bypass else y_loc
             return z_loc, y_loc
-        # Local zero-init end state, then cross-shard carry, then correction.
-        _, e_loc = eq_ops._equalize_blocks(y_loc, ops, with_state=True)
-        sigma = _cross_shard_sigma(e_loc, ops, sp.n_out_local)
-        z_loc, _ = eq_ops._equalize_blocks(y_loc, ops, sigma0=sigma, with_state=True)
+        # ONE local block pass: zero-init outputs + local carries; the
+        # cross-shard state folds in through the correction matmul instead
+        # of a second full pass.
+        xb = y_loc.reshape(y_loc.shape[:-1] + (K_loc, ops.block))
+        y0, e = eq_ops._block_recurrence(xb, ops)
+        sigma_local = eq_ops._carry_states(e, ops)          # (..., K, d)
+        A_blk = jnp.asarray(ops.state_corr, dtype=jnp.float32)
+        e_shard = (
+            einsum_f32("ij,...j->...i", A_blk, sigma_local[..., -1, :])
+            + e[..., -1, :]
+        )
+        sigma0 = _cross_shard_sigma(e_shard, ops, sp.n_out_local)
+        sigma = sigma_local + einsum_f32(
+            "kij,...j->...ki", pows_k_dev, sigma0
+        )
+        corr = jnp.asarray(ops.corr.T, dtype=jnp.float32)   # (d, block)
+        z_loc = (y0 + einsum_f32("...kd,db->...kb", sigma, corr)).reshape(
+            y_loc.shape
+        )
         return jnp.clip(z_loc, -1.0, 1.0), y_loc
 
     spec = P(CHANNEL_AXIS, BLOCK_AXIS)
