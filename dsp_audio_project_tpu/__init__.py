@@ -32,7 +32,7 @@ from .io.wavio import read_wav, write_wav
 from .models.chain import AudioPipeline, PipelineOutputs
 from .models.graph import Chain, Clip, Equalize, Gain, Normalize, Resample, Stage
 from .ops.eq import equalize, equalize_stream
-from .ops.eq_dynamic import equalize_dynamic
+from .ops.eq_dynamic import equalize_dynamic, equalize_dynamic_frames
 from .ops.spectrum import (
     angular_spectrum,
     magnitude_spectrum,
@@ -71,6 +71,7 @@ __all__ = [
     "angular_spectrum",
     "equalize",
     "equalize_dynamic",
+    "equalize_dynamic_frames",
     "equalize_stream",
     "export_wav",
     "load_signal",

@@ -157,3 +157,32 @@ class AudioPipeline:
     def jit_forward_frames(self):
         """Jitted fused (x, fs) -> (z_frames, y_frames); see frames_supported."""
         return jax.jit(self._forward_frames, static_argnums=(1,))
+
+    def jit_forward_frames_dynamic(self):
+        """Jitted fused (x, gains_db, fs) -> (z_frames, y_frames).
+
+        Traced gains: ONE compile serves every gain vector (per-request EQ
+        at zero compile cost) on the same retile-free frame-major path.
+        Band geometry/config comes from self.config.eq; gains_db overrides
+        the gains, ordered like EQConfig.band_centers.
+        """
+        from ..kernels.fir_shear import polyphase_fir_shear_frames
+        from ..ops.eq_dynamic import equalize_dynamic_frames
+        from ..ops.src import make_plan
+
+        cfg = self.config
+
+        def forward(x, gains_db, fs):
+            plan = make_plan(cfg.src.L, cfg.src.M, cfg.src.taps_rule_factor)
+            n_out = cfg.src.output_length(x.shape[-1])
+            fs_out = cfg.src.output_rate(fs)
+            y_frames = polyphase_fir_shear_frames(
+                x.astype(jnp.float32), plan, n_out, pad_frames=True,
+                interpret=cfg.kernels.interpret,
+            )
+            z_frames = equalize_dynamic_frames(
+                y_frames, gains_db, fs_out, cfg.eq
+            )
+            return z_frames, y_frames
+
+        return jax.jit(forward, static_argnums=(2,))

@@ -202,27 +202,17 @@ def _cumulative_powers(A, count: int):
     )
 
 
-@functools.partial(
-    jax.jit, static_argnames=("fs", "cfg", "block", "unroll")
-)
-def equalize_dynamic(
-    x: jnp.ndarray,
-    gains_db: jnp.ndarray,
-    fs: int,
-    cfg: EQConfig = EQConfig(),
-    block: int = 8192,
-    unroll: int = 128,
-) -> jnp.ndarray:
-    """EQ with traced gains: one compile serves every gain vector.
+def _dynamic_operators(gains_db: jnp.ndarray, fs: int, cfg: EQConfig,
+                       U: int, G: int):
+    """In-graph (traced-gains) block operators for a (U, G) geometry.
 
-    ``gains_db``: (n_bands,) float array, ordered like cfg.band_centers.
-    Matches the static path / golden oracle to ~1e-5 (tests gate 60+ dB).
+    Returns (group_in (U,d), group_out (d,U), fir (U,U), toe (Gd,Gd),
+    A_blk (d,d), corr (G,U,d)) — all f32-rounded views of one df32-exact
+    system (see module docstring).
     """
     import numpy as np
 
-    assert block % unroll == 0
     f32 = jnp.float32
-    x = x.astype(f32)
     gains_db = jnp.asarray(gains_db, f32)
     # Reference band-skip semantics (dsp_core.py:234): |gain| <= 0.1 dB acts
     # as identity.  A zero gain IS the identity filter (b == a), so masking
@@ -248,8 +238,8 @@ def equalize_dynamic(
     # f32, so they are f32-rounded views of ONE consistent exact system.
     A, Bv, Cv, D = _compose_cascade(bands)
     d = A[0].shape[0]
+    f32 = jnp.float32
 
-    U, G = unroll, block // unroll
     pu = _cumulative_powers(A, U + 1)                # df (U+1, d, d)
     A_U_df = (pu[0][U], pu[1][U])
     pu_head = (pu[0][:U], pu[1][:U])
@@ -274,7 +264,6 @@ def equalize_dynamic(
         jnp.broadcast_to(CA_u[1], (G, U, d)),
     )
     corr = df32.to_f32(df32.mmul(CA_b, (pg[0][:G], pg[1][:G])))  # (G, U, d)
-    corr = corr.reshape(block, d)
 
     # In-graph block Toeplitz (same scan-free structure as ops/eq): block
     # (v, r) holds ((A^U)^{r-v})^T; built by gathering the df-exact powers.
@@ -287,16 +276,21 @@ def equalize_dynamic(
         0.0,
     )                                                     # (G, G, d, d)
     toe = jnp.transpose(toe, (0, 2, 1, 3)).reshape(G * d, G * d)
+    return group_in, group_out, fir, toe, A_blk, corr
 
-    # ---- block-parallel recurrence (mirrors ops/eq with traced operators)
-    n = x.shape[-1]
-    K = -(-n // block)
-    pad = K * block - n
-    xb = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
-    xb = xb.reshape(x.shape[:-1] + (K, block))
-    lead = xb.shape[:-1]
 
-    x_g = xb.reshape(lead + (G, U))                       # (..., K, G, U)
+def _dynamic_grouped(x_g: jnp.ndarray, ops) -> jnp.ndarray:
+    """Scan-free data path on grouped input (..., K, G, U), traced operators.
+
+    Returns the corrected (unclipped) output in grouped form.
+    """
+    f32 = jnp.float32
+    group_in, group_out, fir, toe, A_blk, corr = ops
+    d = group_in.shape[-1]
+    G = x_g.shape[-2]
+    K = x_g.shape[-3]
+    lead = x_g.shape[:-2]
+
     inj = einsum_f32("...gu,ud->...gd", x_g, group_in)    # (..., K, G, d)
     s_tail = einsum_f32(
         "...x,xy->...y", inj.reshape(lead + (G * d,)), toe
@@ -308,7 +302,6 @@ def equalize_dynamic(
     y0 = einsum_f32("...gu,uv->...gv", x_g, fir.T) + einsum_f32(
         "...gd,du->...gu", s_in, group_out
     )
-    y0 = y0.reshape(lead + (block,))
 
     # carry scan over blocks
     k_axis = e_states.ndim - 2
@@ -334,6 +327,69 @@ def equalize_dynamic(
 
     _, sigma = jax.lax.associative_scan(combine, (mats, vecs), axis=k_axis)
 
-    y = y0 + einsum_f32("...kd,bd->...kb", sigma, corr.reshape(block, d))
+    return y0 + einsum_f32("...kd,gud->...kgu", sigma, corr)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("fs", "cfg", "block", "unroll")
+)
+def equalize_dynamic(
+    x: jnp.ndarray,
+    gains_db: jnp.ndarray,
+    fs: int,
+    cfg: EQConfig = EQConfig(),
+    block: int = 8192,
+    unroll: int = 128,
+) -> jnp.ndarray:
+    """EQ with traced gains: one compile serves every gain vector.
+
+    ``gains_db``: (n_bands,) float array, ordered like cfg.band_centers.
+    Matches the static path / golden oracle to f32 rounding (tests gate
+    110 dB).
+    """
+    assert block % unroll == 0
+    f32 = jnp.float32
+    x = x.astype(f32)
+    U, G = unroll, block // unroll
+    ops = _dynamic_operators(gains_db, fs, cfg, U, G)
+
+    n = x.shape[-1]
+    K = -(-n // block)
+    pad = K * block - n
+    xb = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    x_g = xb.reshape(x.shape[:-1] + (K, G, U))
+    y = _dynamic_grouped(x_g, ops)
     y = y.reshape(x.shape[:-1] + (K * block,))[..., :n]
+    return jnp.clip(y, -1.0, 1.0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("fs", "cfg", "groups_per_block")
+)
+def equalize_dynamic_frames(
+    frames: jnp.ndarray,
+    gains_db: jnp.ndarray,
+    fs: int,
+    cfg: EQConfig = EQConfig(),
+    groups_per_block: int = 128,
+) -> jnp.ndarray:
+    """Traced-gains EQ on frame-major input (..., F, P) -> frames, clipped.
+
+    The serving fast path: combine with the shear FIR kernel
+    (AudioPipeline.jit_forward_frames_dynamic) for per-request gain
+    changes at zero compile cost AND zero device-side lane retiles.
+    """
+    f32 = jnp.float32
+    P = frames.shape[-1]
+    F = frames.shape[-2]
+    G = groups_per_block
+    lead = frames.shape[:-2]
+    ops = _dynamic_operators(gains_db, fs, cfg, P, G)
+    K = -(-F // G)
+    pad = K * G - F
+    x_g = jnp.pad(
+        frames.astype(f32), [(0, 0)] * len(lead) + [(0, pad), (0, 0)]
+    ).reshape(lead + (K, G, P))
+    y = _dynamic_grouped(x_g, ops)
+    y = y.reshape(lead + (K * G, P))[..., :F, :]
     return jnp.clip(y, -1.0, 1.0)

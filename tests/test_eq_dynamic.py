@@ -65,3 +65,34 @@ def test_dynamic_batched():
     for c in range(2):
         want = equalize_oracle(xs[c], fs, cfg)
         assert snr_db(want, got[c]) > 110.0
+
+
+def test_dynamic_frames_matches_flat():
+    """Frame-major traced-gains EQ equals the flat dynamic path."""
+    from dsp_audio_project_tpu.ops.eq_dynamic import equalize_dynamic_frames
+
+    fs = 48000
+    P, F = 160, 301
+    rng = np.random.default_rng(5)
+    x = (0.4 * rng.standard_normal(F * P)).astype(np.float32)
+    gains = (6.0, -3.0, 0.0, 12.0, -15.0, 4.0)
+    want = np.asarray(equalize_dynamic(jnp.asarray(x), jnp.asarray(gains), fs))
+    got = np.asarray(
+        equalize_dynamic_frames(
+            jnp.asarray(x.reshape(F, P)), jnp.asarray(gains), fs
+        )
+    ).reshape(-1)
+    assert snr_db(want, got) > 110.0
+
+
+def test_dynamic_frames_no_recompile():
+    from dsp_audio_project_tpu.ops.eq_dynamic import equalize_dynamic_frames
+
+    fs = 48000
+    fr = jnp.asarray(
+        make_test_signal(160 * 130, fs, seed=9).reshape(130, 160)
+    )
+    n0 = equalize_dynamic_frames._cache_size()
+    for g in GAIN_SETS[:3]:
+        equalize_dynamic_frames(fr, jnp.asarray(g), fs)
+    assert equalize_dynamic_frames._cache_size() == n0 + 1

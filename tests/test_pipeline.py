@@ -180,3 +180,29 @@ def test_fused_frames_chain_matches_flat_path(audio_44k):
     assert snr_db(np.asarray(z_ref), z_flat) > 110.0
     want, _ = pipeline_oracle(x, fs, cfg.src, cfg.eq, engine="fast")
     assert snr_db(want, z_flat) > 60.0
+
+
+def test_fused_frames_dynamic_matches_static(audio_44k):
+    """jit_forward_frames_dynamic(gains) == jit_forward_frames with the same
+    gains baked in, and one compile serves multiple gain vectors."""
+    from dsp_audio_project_tpu.config import KernelConfig
+
+    x, fs = audio_44k
+    gains = {"Bass": 6.0, "Presence": -4.0}
+    cfg = PipelineConfig(src=SRCConfig(L=160, M=147),
+                         eq=EQConfig.from_gains(gains),
+                         kernels=KernelConfig(interpret=True))
+    pipe = AudioPipeline(cfg)
+    n_out = cfg.src.output_length(len(x))
+    fwd = pipe.jit_forward_frames_dynamic()
+    g = jnp.asarray([gains.get(name, 0.0) for name, _ in cfg.eq.band_centers],
+                    jnp.float32)
+    zf, _ = fwd(jnp.asarray(x), g, fs)
+    z_dyn = np.asarray(zf).reshape(-1)[:n_out]
+    zs, _ = pipe.jit_forward_frames()(jnp.asarray(x), fs)
+    z_static = np.asarray(zs).reshape(-1)[:n_out]
+    assert snr_db(z_static, z_dyn) > 110.0
+    # A second gain vector reuses the same compiled executable.
+    n0 = fwd._cache_size()
+    fwd(jnp.asarray(x), g.at[0].add(-9.0), fs)
+    assert fwd._cache_size() == n0
