@@ -133,6 +133,8 @@ def polyphase_fir_shear_frames(
     precision=jax.lax.Precision.HIGHEST,
     interpret: bool = False,
     pad_frames: bool = False,
+    num_frames: int | None = None,
+    pad_left: int | None = None,
 ) -> jnp.ndarray:
     """Resample (..., N) -> frames (..., ceil(n_out/P), P).
 
@@ -144,6 +146,13 @@ def polyphase_fir_shear_frames(
     multiple of super*128) instead of slicing to ceil(n_out/P): the tail
     frames hold convolution of the zero padding — callers that slice by
     n_out downstream (the fused pipeline) skip a pad/slice HBM round trip.
+
+    ``pad_left`` overrides the implicit zero extension max(0, -lo): a
+    shard-local caller (parallel/pipeline.py) hands in the halo-EXTENDED
+    signal, where frame 0's window already starts at index lo + pad_left
+    == 0 of real neighbor data, and passes pad_left=0.  ``num_frames``
+    likewise overrides ceil(n_out/P) for shards whose frame count is
+    fixed by the shard plan rather than by an output length.
     """
     s, P, W = plan.s, plan.P, plan.W
     if s < 8:
@@ -151,7 +160,7 @@ def polyphase_fir_shear_frames(
     if x.ndim == 1:
         return polyphase_fir_shear_frames(
             x[None], plan, n_out, precision=precision, interpret=interpret,
-            pad_frames=pad_frames,
+            pad_frames=pad_frames, num_frames=num_frames, pad_left=pad_left,
         )[0]
     lead = x.shape[:-1]
     n = x.shape[-1]
@@ -159,12 +168,21 @@ def polyphase_fir_shear_frames(
 
     wp, num_cols, super_, rows_fetch, runs, rot_bits = _shear_geometry(s, W)
     frames_per_step = super_ * TILE_FRAMES
-    num_frames = -(-n_out // P)
+    if num_frames is None:
+        num_frames = -(-n_out // P)
     T = -(-num_frames // frames_per_step)
 
-    pad_left = max(0, -plan.lo)
+    if pad_left is None:
+        pad_left = max(0, -plan.lo)
+    if pad_left < 0:  # window start lies inside x: drop the lead instead
+        x = x[..., -pad_left:]
+        n = x.shape[-1]
+        pad_left = 0
     total = ((T - 1) * super_ * s + rows_fetch) * 128
-    pad_right = max(0, total - pad_left - n)
+    # Kernel reads exactly `total` samples; a longer input (halo-extended
+    # shards) still needs the group view to stay 128-divisible.
+    total = max(total, 128 * -(-(pad_left + n) // 128))
+    pad_right = total - pad_left - n
     xp = jnp.pad(
         x.reshape(B, n).astype(jnp.float32), ((0, 0), (pad_left, pad_right))
     )

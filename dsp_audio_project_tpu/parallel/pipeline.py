@@ -99,10 +99,12 @@ def _plan_shards(
     return sp, plan
 
 
-def _local_resample(
-    x_loc: jnp.ndarray, plan: src_ops.PolyphasePlan, sp: ShardPlan
-) -> jnp.ndarray:
-    """Shard-local polyphase frames matmul with ppermute halo exchange."""
+def _halo_extend(x_loc: jnp.ndarray, sp: ShardPlan) -> jnp.ndarray:
+    """ppermute halo exchange: [left tail | x_loc | right head].
+
+    Edge devices receive zeros (the ppermute has no wrap link), which is
+    exactly numpy's 'same' zero extension.
+    """
     hl, hr = sp.halo_left, sp.halo_right
     nb = jax.lax.axis_size(BLOCK_AXIS)
     parts = [x_loc]
@@ -118,7 +120,15 @@ def _local_resample(
             [(i + 1, i) for i in range(nb - 1)],
         )
         parts.append(right)
-    x_ext = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else x_loc
+    return jnp.concatenate(parts, axis=-1) if len(parts) > 1 else x_loc
+
+
+def _local_resample(
+    x_loc: jnp.ndarray, plan: src_ops.PolyphasePlan, sp: ShardPlan
+) -> jnp.ndarray:
+    """Shard-local polyphase frames matmul with ppermute halo exchange."""
+    hl = sp.halo_left
+    x_ext = _halo_extend(x_loc, sp)
 
     if plan.s >= 8:
         # Shifted-matmul formulation (shared with ops/src): frame 0's
@@ -134,6 +144,28 @@ def _local_resample(
         g_mat = jnp.asarray(plan.G, dtype=jnp.float32)
         classes = einsum_f32("...kw,wp->...kp", frames, g_mat)
     return classes.reshape(x_loc.shape[:-1] + (sp.n_out_local,))
+
+
+def _local_resample_shear(
+    x_loc: jnp.ndarray, plan: src_ops.PolyphasePlan, sp: ShardPlan,
+    interpret: bool,
+) -> jnp.ndarray:
+    """Shard-local shear FIR kernel -> frames (..., frames_local, P).
+
+    Same halo exchange as _local_resample; the Pallas kernel consumes the
+    halo-extended flat signal directly (pad_left = -(lo + halo_left), i.e.
+    frame 0's window starts at real neighbor data instead of zero padding),
+    so the sharded fused path has no HBM lane retile either.
+    """
+    from ..kernels.fir_shear import polyphase_fir_shear_frames
+
+    x_ext = _halo_extend(x_loc, sp)
+    return polyphase_fir_shear_frames(
+        x_ext.astype(jnp.float32), plan, sp.n_out_local,
+        num_frames=sp.frames_local,
+        pad_left=-(plan.lo + sp.halo_left),
+        interpret=interpret,
+    )
 
 
 def _cross_shard_sigma(
@@ -172,12 +204,19 @@ def build_sharded_pipeline(
     fs: int,
     n: int,
     channels: int,
+    fused: bool | None = None,
 ):
     """Compile a sharded processor for fixed (fs, N, C).
 
     Returns ``(fn, shard_plan)`` where ``fn(x_padded) -> z_padded`` is jitted
     over the mesh with x of shape (c_pad, mesh_block * n_in_local); use
     ``run_sharded`` for the pad/crop wrapping.
+
+    ``fused`` selects the frame-major fast path inside each shard (shear
+    FIR Pallas kernel -> grouped EQ at unroll=P, no lane retiles — the
+    sharded twin of AudioPipeline.jit_forward_frames).  None = auto: on
+    when the plan supports it and the backend runs Pallas (TPU, or
+    interpret mode anywhere).
     """
     mesh_channel = mesh.shape[CHANNEL_AXIS]
     mesh_block = mesh.shape[BLOCK_AXIS]
@@ -191,11 +230,22 @@ def build_sharded_pipeline(
     sp, plan = _plan_shards(
         n, channels, mesh_channel, mesh_block, src_cfg, config.kernels.iir_block
     )
+    if fused is None:
+        fused = (
+            not src_cfg.bypass
+            and plan.s >= 8
+            and (config.kernels.interpret or jax.default_backend() == "tpu")
+        )
+    if fused and (src_cfg.bypass or plan.s < 8):
+        raise ValueError("fused sharded path requires SRC with stride s >= 8")
     fs_out = src_cfg.output_rate(fs)
     bands = eq_cfg.active_bands(fs_out)
     eq_active = not eq_cfg.bypass and bool(bands)
     ops = (
-        eq_ops.make_block_operators(bands, int(fs_out), eq_cfg.q, sp.iir_block)
+        eq_ops.make_block_operators(
+            bands, int(fs_out), eq_cfg.q, sp.iir_block,
+            **({"unroll": plan.P} if fused else {}),
+        )
         if eq_active
         else None
     )
@@ -213,6 +263,16 @@ def build_sharded_pipeline(
             acc = acc @ ops.state_corr
         pows_k_dev = jnp.asarray(pows_k, dtype=jnp.float32)
 
+    def _shard_sigma(e, sigma_local):
+        """True per-block incoming states from local + cross-shard carries."""
+        A_blk = jnp.asarray(ops.state_corr, dtype=jnp.float32)
+        e_shard = (
+            einsum_f32("ij,...j->...i", A_blk, sigma_local[..., -1, :])
+            + e[..., -1, :]
+        )
+        sigma0 = _cross_shard_sigma(e_shard, ops, sp.n_out_local)
+        return sigma_local + einsum_f32("kij,...j->...ki", pows_k_dev, sigma0)
+
     def local_fn(x_loc):
         # x_loc: (C_local, n_in_local)
         y_loc = _local_resample(x_loc.astype(jnp.float32), plan, sp)
@@ -225,24 +285,40 @@ def build_sharded_pipeline(
         xb = y_loc.reshape(y_loc.shape[:-1] + (K_loc, ops.block))
         y0, e = eq_ops._block_recurrence(xb, ops)
         sigma_local = eq_ops._carry_states(e, ops)          # (..., K, d)
-        A_blk = jnp.asarray(ops.state_corr, dtype=jnp.float32)
-        e_shard = (
-            einsum_f32("ij,...j->...i", A_blk, sigma_local[..., -1, :])
-            + e[..., -1, :]
-        )
-        sigma0 = _cross_shard_sigma(e_shard, ops, sp.n_out_local)
-        sigma = sigma_local + einsum_f32(
-            "kij,...j->...ki", pows_k_dev, sigma0
-        )
+        sigma = _shard_sigma(e, sigma_local)
         corr = jnp.asarray(ops.corr.T, dtype=jnp.float32)   # (d, block)
         z_loc = (y0 + einsum_f32("...kd,db->...kb", sigma, corr)).reshape(
             y_loc.shape
         )
         return jnp.clip(z_loc, -1.0, 1.0), y_loc
 
+    def local_fn_fused(x_loc):
+        # Frame-major twin: shear FIR frames feed the EQ at unroll = P —
+        # the flat views below are free leading-axis regroups.
+        y_fr = _local_resample_shear(
+            x_loc.astype(jnp.float32), plan, sp, config.kernels.interpret
+        )                                                   # (C, F_loc, P)
+        lead = y_fr.shape[:-2]
+        y_loc = y_fr.reshape(lead + (sp.n_out_local,))
+        if not eq_active:
+            z_loc = jnp.clip(y_loc, -1.0, 1.0) if not eq_cfg.bypass else y_loc
+            return z_loc, y_loc
+        fpb = ops.block // plan.P
+        x_g = y_fr.reshape(lead + (K_loc, fpb, plan.P))
+        y0, e = eq_ops._grouped_recurrence(x_g, ops)
+        sigma_local = eq_ops._carry_states(e, ops)          # (..., K, d)
+        sigma = _shard_sigma(e, sigma_local)
+        d = ops.A.shape[0]
+        corr_g = jnp.asarray(
+            ops.corr.reshape(fpb, plan.P, d), dtype=jnp.float32
+        )
+        z = y0 + einsum_f32("...kd,gud->...kgu", sigma, corr_g)
+        return jnp.clip(z.reshape(y_loc.shape), -1.0, 1.0), y_loc
+
     spec = P(CHANNEL_AXIS, BLOCK_AXIS)
     sharded = shard_map(
-        local_fn, mesh=mesh, in_specs=(spec,), out_specs=(spec, spec),
+        local_fn_fused if fused else local_fn, mesh=mesh,
+        in_specs=(spec,), out_specs=(spec, spec),
         check_vma=False,
     )
     return jax.jit(sharded), sp
@@ -253,6 +329,7 @@ def run_sharded(
     fs: int,
     config: PipelineConfig,
     mesh: Mesh,
+    fused: bool | None = None,
 ) -> Tuple[jax.Array, jax.Array, int, ShardPlan]:
     """Pad, shard, process, crop: the host-facing sharded entry point.
 
@@ -262,7 +339,7 @@ def run_sharded(
     if x.ndim == 1:
         x = x[None, :]
     c, n = x.shape
-    fn, sp = build_sharded_pipeline(mesh, config, fs, n, c)
+    fn, sp = build_sharded_pipeline(mesh, config, fs, n, c, fused=fused)
     mesh_block = mesh.shape[BLOCK_AXIS]
     n_padded = sp.n_in_local * mesh_block
     xp = np.zeros((sp.c_pad, n_padded), dtype=np.float32)

@@ -80,6 +80,28 @@ def test_sharded_equals_unsharded_bitwise_fir():
     np.testing.assert_allclose(np.asarray(z1), np.asarray(z8), atol=1e-6)
 
 
+@pytest.mark.parametrize("nblocks", [2, 4])
+def test_fused_sharded_matches_oracle(nblocks):
+    """Fused frame-major shards (shear kernel, interpret mode) match the
+    oracle and the non-fused sharded path."""
+    fs = 44100
+    x = make_test_signal(44100, fs, seed=13)
+    cfg = PipelineConfig(
+        src=SRCConfig(L=160, M=147),
+        eq=EQConfig.from_gains(GAINS),
+        kernels=KernelConfig(iir_block=256, interpret=True),
+    )
+    mesh = build_mesh(MeshConfig(channel_devices=1, block_devices=nblocks))
+    z, y, fs_out, _ = run_sharded(x, fs, cfg, mesh, fused=True)
+    want, _ = pipeline_oracle(x, fs, cfg.src, cfg.eq)
+    assert fs_out == 48000
+    z = np.asarray(z)[0]
+    assert z.shape == want.shape
+    assert snr_db(want, z) > 60.0
+    z_ref, *_ = run_sharded(x, fs, cfg, mesh, fused=False)
+    assert snr_db(np.asarray(z_ref)[0], z) > 110.0
+
+
 def test_eq_bypass_sharded():
     fs = 44100
     x = make_test_signal(16000, fs, seed=4)
