@@ -82,6 +82,173 @@ def _fft_stages_kernel(zr_ref, zi_ref, tw_ref, or_ref, oi_ref, *, nh: int):
     oi_ref[0, :, :] = yi
 
 
+def _four_step_kernel(x_ref, c_ref, d2_ref, o_ref, *, n1, rt, magnitude,
+                      precision):
+    """Direct-real four-step rfft on a VMEM-resident row tile.
+
+    x_ref: (1, n1, RT, n2) real input, j = j1*n2 + j2 — j1 leads so every
+    slice below is a contiguous (RT, n2) tile slab (middle-axis slicing of
+    a (RT, n1, n2) layout costs Mosaic big relayout buffers).
+    Step 1+2 fused: B[k1] = sum_j1 X[j1] * C[k1, j1, :] where the
+    coefficient vectors C = d1[k1,j1] * W_n^{k1 j2} fold the column DFT
+    and the twiddle into n1*n1 broadcast FMAs on the VPU.
+    Step 3: two (n1*RT, n2) @ (n2, n2) MXU matmuls per plane against the
+    row-DFT matrix.  No misaligned reshape anywhere — what breaks Mosaic
+    in the radix-2 butterfly formulation.
+    """
+    n2 = x_ref.shape[-1]
+    br_parts, bi_parts = [], []
+    for k1 in range(n1):
+        ar = ai = None
+        for j1 in range(n1):
+            xa = x_ref[0, j1]                          # (RT, n2)
+            cr = c_ref[0, k1 * n1 + j1][None, :]
+            ci = c_ref[1, k1 * n1 + j1][None, :]
+            ar = xa * cr if ar is None else ar + xa * cr
+            ai = xa * ci if ai is None else ai + xa * ci
+        br_parts.append(ar)
+        bi_parts.append(ai)
+    br = jnp.concatenate(br_parts, axis=0)             # (n1*RT, n2)
+    bi = jnp.concatenate(bi_parts, axis=0)
+    if precision == "fast":
+        # bf16x3: exact-split both operands, keep the three largest cross
+        # terms — ~f32 accuracy at half of HIGHEST's six MXU passes.
+        # (Mosaic lowers only DEFAULT/HIGHEST dot precisions, so the
+        # three-pass scheme is spelled out.)
+        d2h = d2_ref[0]
+        d2l = d2_ref[1]
+
+        def dot3(a, bh, bl):
+            ah = a.astype(jnp.bfloat16)
+            al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+            acc = jnp.dot(ah, bh, preferred_element_type=jnp.float32)
+            acc += jnp.dot(al, bh, preferred_element_type=jnp.float32)
+            acc += jnp.dot(ah, bl, preferred_element_type=jnp.float32)
+            return acc
+
+        crr = dot3(br, d2h[:, :n2], d2l[:, :n2])
+        cri = dot3(br, d2h[:, n2:], d2l[:, n2:])
+        cir = dot3(bi, d2h[:, :n2], d2l[:, :n2])
+        cii = dot3(bi, d2h[:, n2:], d2l[:, n2:])
+        cr = crr - cii
+        ci = cri + cir
+    else:
+        d2r = d2_ref[:, :n2]
+        d2i = d2_ref[:, n2:]
+        hi = precision
+        cr = (
+            jnp.dot(br, d2r, preferred_element_type=jnp.float32, precision=hi)
+            - jnp.dot(bi, d2i, preferred_element_type=jnp.float32, precision=hi)
+        )
+        ci = (
+            jnp.dot(br, d2i, preferred_element_type=jnp.float32, precision=hi)
+            + jnp.dot(bi, d2r, preferred_element_type=jnp.float32, precision=hi)
+        )
+    if magnitude:
+        mag = jnp.sqrt(cr * cr + ci * ci)
+        o_ref[0] = mag.reshape(n1, 1, rt, n2)
+    else:
+        o_ref[0] = jnp.concatenate(
+            [cr.reshape(n1, 1, rt, n2), ci.reshape(n1, 1, rt, n2)], axis=1
+        )
+
+
+@functools.lru_cache(maxsize=None)
+def _four_step_tables(n: int, n1: int):
+    n2 = n // n1
+    d1 = np.exp(-2j * np.pi * np.outer(np.arange(n1), np.arange(n1)) / n1)
+    tw = np.exp(-2j * np.pi * np.outer(np.arange(n1), np.arange(n2)) / n)
+    # C[k1, j1, j2] = d1[k1, j1] * tw[k1, j2]: step-1 DFT and twiddle in one
+    # coefficient vector per (k1, j1).
+    c = d1[:, :, None] * tw[:, None, :]
+    c = np.stack([c.real, c.imag]).reshape(2, n1 * n1, n2).astype(np.float32)
+    d2 = np.exp(-2j * np.pi * np.outer(np.arange(n2), np.arange(n2)) / n2)
+    d2 = np.concatenate([d2.real, d2.imag], axis=1).astype(np.float32)
+    import ml_dtypes
+
+    d2h = d2.astype(ml_dtypes.bfloat16)
+    d2l = (d2 - d2h.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    return c, d2, np.stack([d2h, d2l])
+
+
+def rfft_pallas_four_step(
+    x: jnp.ndarray,
+    *,
+    n1: int = 16,
+    row_tile: int = DEFAULT_ROW_TILE,
+    magnitude: bool = False,
+    precision=jax.lax.Precision.HIGHEST,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Batched rfft of real (..., N) -> (..., N//2+1), four-step form.
+
+    The production TPU FFT kernel: ONE HBM read of the input tile and one
+    write of the spectrum — the log2(N) stage round-trips of the XLA
+    butterfly path and its even/odd packing retile never exist.  Compute
+    is n*(n1+n2) MACs/row, dominated by one MXU matmul; at analysis sizes
+    that sits under the HBM roofline.  ``magnitude=True`` fuses |X| into
+    the kernel (the spectrum op's shape), halving output bytes.
+
+    Matches np.fft.rfft to float32 rounding (same math as the reference's
+    recursive DIT FFT, dsp_core.py:41-66, regrouped into two MXU stages).
+    """
+    n = x.shape[-1]
+    if n < 4 or (n & (n - 1)) != 0:
+        raise ValueError(f"needs power-of-two N >= 4, got {n}")
+    n2 = n // n1
+    if n2 < 2 or n1 * n2 != n or n2 % 128:
+        raise ValueError(f"n1={n1} must divide N with n2 a lane multiple")
+    lead = x.shape[:-1]
+    x2 = x.reshape((-1, n)).astype(jnp.float32)
+    rows = x2.shape[0]
+    rt = min(row_tile, max(8, rows))     # sublane tiles are 8 rows deep
+    r_tiles = -(-rows // rt)
+    if r_tiles * rt != rows:
+        x2 = jnp.pad(x2, ((0, r_tiles * rt - rows), (0, 0)))
+    # j1 to the front of each block: every kernel slice is a contiguous
+    # (rt, n2) slab (one XLA transpose, fused into the staging copy).
+    x4 = jnp.swapaxes(x2.reshape(r_tiles, rt, n1, n2), 1, 2)
+
+    c, d2, d2_split = _four_step_tables(n, n1)
+    d2_arg = d2_split if precision == "fast" else d2
+    kern = functools.partial(
+        _four_step_kernel, n1=n1, rt=rt, magnitude=magnitude,
+        precision=precision,
+    )
+    planes = 1 if magnitude else 2
+    out = pl.pallas_call(
+        kern,
+        grid=(r_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, n1, rt, n2), lambda r: (r, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(c.shape, lambda r: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(d2_arg.shape,
+                         (lambda r: (0, 0, 0)) if d2_arg.ndim == 3
+                         else (lambda r: (0, 0)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, n1, planes, rt, n2), lambda r: (r, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (r_tiles, n1, planes, rt, n2), jnp.float32
+        ),
+        interpret=interpret,
+    )(x4, jnp.asarray(c), jnp.asarray(d2_arg))
+
+    # Host-side interleave: X[k1 + n1*k2] — one transpose + crop.
+    out = jnp.transpose(out, (0, 3, 2, 4, 1))   # (r_tiles, rt, planes, n2, n1)
+    out = out.reshape(r_tiles * rt, planes, n)
+    out = out[:rows, :, : n // 2 + 1]
+    if magnitude:
+        return out[:, 0, :].reshape(lead + (n // 2 + 1,))
+    z = out[:, 0, :] + 1j * out[:, 1, :]
+    return z.reshape(lead + (n // 2 + 1,))
+
+
 def rfft_pallas(
     x: jnp.ndarray,
     *,

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -68,6 +69,119 @@ def ifft(x: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
+def _dft_matrix(m: int) -> np.ndarray:
+    jk = np.outer(np.arange(m), np.arange(m))
+    return np.exp(-2j * np.pi * jk / m).astype(np.complex64)
+
+
+@functools.lru_cache(maxsize=None)
+def _four_step_twiddle(n1: int, n2: int) -> np.ndarray:
+    # W_n^{k1 j2} applied between the column and row DFTs.
+    k1j2 = np.outer(np.arange(n1), np.arange(n2))
+    return np.exp(-2j * np.pi * k1j2 / (n1 * n2)).astype(np.complex64)
+
+
+def fft_four_step(x: jnp.ndarray, n1: int | None = None) -> jnp.ndarray:
+    """Complex FFT via the four-step (Bailey) factorization — MXU form.
+
+    With n = n1*n2, j = j1*n2 + j2, k = k1 + n1*k2:
+
+        X[k1 + n1 k2] = sum_j2 W_n2^{j2 k2} (W_n^{j2 k1}
+                        * sum_j1 Z[j1, j2] W_n1^{j1 k1})
+
+    i.e. DFT the columns (one (n1,n1) matmul), twiddle, DFT the rows (one
+    (n2,n2) matmul), transpose.  The log2(n) butterfly passes become two
+    dense matmuls — MXU work instead of VPU concat/mul chains — at
+    n*(n1+n2) complex MACs, which at audio analysis sizes is comfortably
+    under the HBM roofline.  Default split puts 128 on the lane axis
+    (n2=128) so both reshapes are lane-aligned.
+
+    Same math as the reference's radix-2 DIT recursion (dsp_core.py:41-66),
+    regrouped; matches ``fft`` to float32 rounding.
+    """
+    n = x.shape[-1]
+    _check_pow2(n)
+    if n1 is None:
+        n1 = max(2, n // 128)
+    n2 = n // n1
+    if n1 < 2 or n2 < 2 or n1 * n2 != n:
+        return fft(x)
+    lead = x.shape[:-1]
+    hi = jax.lax.Precision.HIGHEST
+    z2 = x.astype(jnp.complex64).reshape(lead + (n1, n2))
+    a = jnp.einsum(
+        "ki,...ij->...kj", jnp.asarray(_dft_matrix(n1)), z2, precision=hi
+    )
+    a = a * jnp.asarray(_four_step_twiddle(n1, n2))
+    b = jnp.einsum(
+        "...kj,jl->...kl", a, jnp.asarray(_dft_matrix(n2)), precision=hi
+    )
+    return jnp.swapaxes(b, -1, -2).reshape(lead + (n,))
+
+
+@functools.lru_cache(maxsize=None)
+def _rfft_matmul_tables(n: int, n1: int):
+    """Host tables for the direct-real four-step rfft (see rfft_matmul)."""
+    n2 = n // n1
+    k2max = n // (2 * n1) + 1            # k2 range covering bins 0..n/2
+    d1 = np.outer(np.arange(n1), np.arange(n1))
+    d1 = np.exp(-2j * np.pi * d1 / n1)
+    tw = np.outer(np.arange(n1), np.arange(n2))
+    tw = np.exp(-2j * np.pi * tw / n)    # W_n^{k1 j2}
+    d2 = np.outer(np.arange(n2), np.arange(k2max))
+    d2 = np.exp(-2j * np.pi * d2 / n2)   # W_n2^{j2 k2}, half-spectrum columns
+    f32 = np.float32
+    return (
+        d1.real.astype(f32), d1.imag.astype(f32),
+        tw.real.astype(f32), tw.imag.astype(f32),
+        d2.real.astype(f32), d2.imag.astype(f32),
+        k2max,
+    )
+
+
+def rfft_matmul(x: jnp.ndarray, n1: int = 16) -> jnp.ndarray:
+    """Real-input FFT via a direct-real four-step factorization — MXU form.
+
+    Unlike ``rfft`` (packed-real trick) this touches no even/odd lane
+    retile, no spectrum reversal, and no untwiddle pass: the first DFT
+    contracts the REAL input directly (two real matmuls), and only the
+    k2 <= n/(2*n1) half of the output grid is ever computed — conjugate
+    symmetry by construction rather than by reconstruction.  The measured
+    fast path for batched analysis (spectrum/STFT) on TPU.
+
+    Bins 0..n//2 of the reference's spectrum math (dsp_core.py:41-66,96-98);
+    matches ``rfft`` / np.fft.rfft to float32 rounding.
+    """
+    n = x.shape[-1]
+    _check_pow2(n)
+    n2 = n // n1
+    if n1 < 2 or n2 < 2 or n1 * n2 != n:
+        return rfft(x)
+    lead = x.shape[:-1]
+    hi = jax.lax.Precision.HIGHEST
+    d1r, d1i, twr, twi, d2r, d2i, k2max = _rfft_matmul_tables(n, n1)
+    x2 = x.astype(jnp.float32).reshape(lead + (n1, n2))
+    # Step 1: A[k1, j2] = sum_j1 x[j1*n2 + j2] W_n1^{j1 k1}  (real input).
+    ar = jnp.einsum("ki,...ij->...kj", jnp.asarray(d1r), x2, precision=hi)
+    ai = jnp.einsum("ki,...ij->...kj", jnp.asarray(d1i), x2, precision=hi)
+    # Step 2: twiddle by W_n^{k1 j2}.
+    br = ar * twr - ai * twi
+    bi = ar * twi + ai * twr
+    # Step 3: row DFT over j2, half-spectrum columns only.
+    cr = (
+        jnp.einsum("...kj,jl->...kl", br, jnp.asarray(d2r), precision=hi)
+        - jnp.einsum("...kj,jl->...kl", bi, jnp.asarray(d2i), precision=hi)
+    )
+    ci = (
+        jnp.einsum("...kj,jl->...kl", br, jnp.asarray(d2i), precision=hi)
+        + jnp.einsum("...kj,jl->...kl", bi, jnp.asarray(d2r), precision=hi)
+    )
+    # Step 4: X[k1 + n1 k2] — interleave and crop to the n//2+1 real bins.
+    out = jnp.swapaxes(cr, -1, -2) + 1j * jnp.swapaxes(ci, -1, -2)
+    return out.reshape(lead + (n1 * k2max,))[..., : n // 2 + 1]
+
+
+@functools.lru_cache(maxsize=None)
 def _rfft_untwiddle(n: int) -> np.ndarray:
     # e^{-2j pi k / n} for k = 0..n/2 (bin count of the real spectrum).
     k = np.arange(n // 2 + 1)
@@ -97,6 +211,33 @@ def rfft(x: jnp.ndarray) -> jnp.ndarray:
     return even + jnp.asarray(_rfft_untwiddle(n)) * odd
 
 
-def rfft_magnitude(x: jnp.ndarray) -> jnp.ndarray:
-    """|rfft(x)| — the spectrum op's workhorse."""
+def _four_step_kernel_n1(n: int) -> int | None:
+    """n1 split for the Pallas four-step kernel, or None if out of range.
+
+    Keeps n2 = 128 on the lane axis; n1 grows with n, and past n1 = 32 the
+    kernel's O(n1^2) VPU stage stops paying for itself — larger sizes fall
+    back to the XLA butterfly path.
+    """
+    if n < 256 or n > 4096 or (n & (n - 1)) != 0:
+        return None
+    return n // 128
+
+
+def rfft_magnitude(x: jnp.ndarray, engine: str = "auto") -> jnp.ndarray:
+    """|rfft(x)| — the spectrum op's workhorse.
+
+    ``engine``: 'auto' uses the Pallas four-step kernel (|X| fused, 'fast'
+    bf16x3 matmuls — reference-grade ~4e-6 accuracy at half the MXU passes)
+    on TPU for supported sizes, else the XLA butterfly path; 'jnp' forces
+    the butterfly; 'pallas' forces the kernel.
+    """
+    n1 = _four_step_kernel_n1(x.shape[-1])
+    use_kernel = engine == "pallas" or (
+        engine == "auto" and n1 is not None and jax.default_backend() == "tpu"
+    )
+    if use_kernel and n1 is not None:
+        from ..kernels.rfft import rfft_pallas_four_step
+
+        return rfft_pallas_four_step(x, n1=n1, magnitude=True,
+                                     precision="fast")
     return jnp.abs(rfft(x))

@@ -146,8 +146,15 @@ def stft(
     ]
     win_frames = jnp.concatenate(parts, axis=-1)  # (..., frames, nfft)
     win_frames = win_frames * jnp.asarray(_hann(nfft))
-    from .fft import rfft
+    from .fft import _four_step_kernel_n1, rfft
 
+    n1 = _four_step_kernel_n1(nfft)
+    if n1 is not None and jax.default_backend() == "tpu":
+        # Batched frames are the four-step kernel's shape: one HBM read,
+        # two MXU stages, one write (see kernels/rfft.py).
+        from ..kernels.rfft import rfft_pallas_four_step
+
+        return rfft_pallas_four_step(win_frames, n1=n1, precision="fast")
     return rfft(win_frames)
 
 

@@ -39,6 +39,27 @@ def test_ifft_roundtrip(rng):
     assert np.max(np.abs(back - x)) < 1e-4
 
 
+@pytest.mark.parametrize("n1", [2, 8, 16, 32])
+def test_fft_four_step_matches_numpy(n1, rng):
+    from dsp_audio_project_tpu.ops.fft import fft_four_step
+
+    x = rng.standard_normal((3, 2048)) + 1j * rng.standard_normal((3, 2048))
+    got = np.asarray(fft_four_step(jnp.asarray(x, jnp.complex64), n1=n1))
+    want = np.fft.fft(x)
+    assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 1e-5
+
+
+@pytest.mark.parametrize("n,n1", [(512, 4), (1024, 8), (2048, 16)])
+def test_rfft_matmul_matches_numpy(n, n1, rng):
+    from dsp_audio_project_tpu.ops.fft import rfft_matmul
+
+    x = rng.standard_normal((4, n)).astype(np.float32)
+    got = np.asarray(rfft_matmul(jnp.asarray(x), n1=n1))
+    want = np.fft.rfft(x, axis=-1)
+    assert got.shape == want.shape
+    assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 1e-5
+
+
 def test_non_pow2_rejected():
     # The reference FFT crashes with a broadcast error on non-pow2 input
     # (SURVEY.md C2); the build rejects cleanly instead.

@@ -109,6 +109,39 @@ def test_rfft_kernel_row_tiling(rng):
     assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 1e-5
 
 
+@pytest.mark.parametrize("n", [256, 1024, 2048])
+def test_rfft_four_step_kernel_matches_numpy(n, rng):
+    from dsp_audio_project_tpu.kernels.rfft import rfft_pallas_four_step
+
+    x = rng.standard_normal((5, n)).astype(np.float32)
+    want = np.fft.rfft(x, axis=-1)
+    scale = np.max(np.abs(want))
+    got = np.asarray(
+        rfft_pallas_four_step(jnp.asarray(x), n1=n // 128, row_tile=4,
+                              interpret=True)
+    )
+    assert got.shape == want.shape
+    assert np.max(np.abs(got - want)) / scale < 1e-5
+    mag = np.asarray(
+        rfft_pallas_four_step(jnp.asarray(x), n1=n // 128, row_tile=4,
+                              magnitude=True, interpret=True)
+    )
+    assert np.max(np.abs(mag - np.abs(want))) / scale < 1e-5
+
+
+def test_rfft_four_step_kernel_fast_mode(rng):
+    """bf16x3 step-3 matmuls hold reference-grade (~4e-6) accuracy."""
+    from dsp_audio_project_tpu.kernels.rfft import rfft_pallas_four_step
+
+    x = rng.standard_normal((6, 2048)).astype(np.float32)
+    want = np.fft.rfft(x, axis=-1)
+    got = np.asarray(
+        rfft_pallas_four_step(jnp.asarray(x), n1=16, row_tile=4,
+                              precision="fast", interpret=True)
+    )
+    assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 5e-5
+
+
 def test_fir_dma_kernel_matches_oracle():
     """Manual-DMA FIR kernel (interpret mode) incl. batch-row boundaries."""
     from dsp_audio_project_tpu.kernels.fir_dma import polyphase_fir_dma
