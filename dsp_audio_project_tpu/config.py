@@ -173,6 +173,9 @@ class KernelConfig:
     iir_block: int = 8192            # block length for the IIR block recurrence
     iir_unroll: int = 128            # samples per matmul group within a block
     fir_frame_tile: int = 512        # frame rows per MXU tile in the FIR kernel
+    # bf16x3 output-FIR einsum in the EQ (~100 dB vs oracle instead of 130+)
+    # for half the EQ MXU time; the state/carry path stays full precision.
+    eq_fast: bool = False
     interpret: bool = False          # run Pallas kernels in interpreter mode
 
     def resolve(self, path: str) -> str:

@@ -81,7 +81,7 @@ class AudioPipeline:
         kc = cfg.kernels
         if kc.resolve("iir") == "jnp":
             return equalize(y, fs_out, cfg.eq, block=kc.iir_block,
-                            unroll=kc.iir_unroll)
+                            unroll=kc.iir_unroll, fast=kc.eq_fast)
         from ..ops.eq import equalize_pallas
 
         return equalize_pallas(
@@ -151,7 +151,8 @@ class AudioPipeline:
                 interpret=cfg.kernels.interpret,
             )
         with trace_stage("eq_frames"):
-            z_frames = equalize_frames(y_frames, fs_out, cfg.eq)
+            z_frames = equalize_frames(y_frames, fs_out, cfg.eq,
+                                       fast=cfg.kernels.eq_fast)
         return z_frames, y_frames
 
     def jit_forward_frames(self):

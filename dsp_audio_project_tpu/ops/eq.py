@@ -63,7 +63,7 @@ def make_block_operators(
 
 
 def _block_recurrence(
-    xb: jnp.ndarray, ops: BlockOperators
+    xb: jnp.ndarray, ops: BlockOperators, fast: bool = False
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Zero-init recurrence on (..., K, block) blocks — scan-free.
 
@@ -84,18 +84,25 @@ def _block_recurrence(
     G = block // U
     lead = xb.shape[:-1]
     x_g = xb.reshape(lead + (G, U))                           # (..., K, G, U)
-    y0, end_states = _grouped_recurrence(x_g, ops)
+    y0, end_states = _grouped_recurrence(x_g, ops, fast=fast)
     return y0.reshape(lead + (block,)), end_states
 
 
 def _grouped_recurrence(
-    x_g: jnp.ndarray, ops: BlockOperators
+    x_g: jnp.ndarray, ops: BlockOperators, fast: bool = False
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """The scan-free core on pre-grouped input (..., K, G, U).
 
     Returns (y0 (..., K, G, U), end_states (..., K, d)).  Keeping the
     grouped shape end-to-end lets frame-major producers (the shear FIR
     kernel) feed the EQ with zero layout changes.
+
+    ``fast`` runs the dominant (U, U) FIR einsum — U MACs per sample, vs
+    ~d for everything else — at Precision.HIGH (bf16x3) instead of HIGHEST
+    (bf16x6), halving the EQ's MXU time.  The state path (injection /
+    Toeplitz solve / carries) stays HIGHEST: state error compounds through
+    the recurrence, output error doesn't.  Measured ~100 dB vs the oracle
+    (gate 60) against ~130+ at full precision.
     """
     d = ops.A.shape[0]
     G = x_g.shape[-2]
@@ -114,9 +121,11 @@ def _grouped_recurrence(
         [jnp.zeros(lead + (1, d), jnp.float32), s_tail[..., : G - 1, :]],
         axis=-2,
     )                                                         # s_0..s_{G-1}
-    y0 = einsum_f32("...gu,uv->...gv", x_g, gFir) + einsum_f32(
-        "...gd,du->...gu", s_in, gOut
-    )
+    fir_prec = jax.lax.Precision.HIGH if fast else jax.lax.Precision.HIGHEST
+    y0 = jnp.einsum(
+        "...gu,uv->...gv", x_g, gFir, precision=fir_prec,
+        preferred_element_type=jnp.float32,
+    ) + einsum_f32("...gd,du->...gu", s_in, gOut)
     return y0, end_states
 
 
@@ -162,14 +171,17 @@ def _carry_states(
     return sig
 
 
-@functools.partial(jax.jit, static_argnames=('fs', 'cfg', 'block', 'unroll'))
+@functools.partial(
+    jax.jit, static_argnames=('fs', 'cfg', 'block', 'unroll', 'fast')
+)
 def equalize(x: jnp.ndarray, fs: int, cfg: EQConfig, block: int = 8192,
-             unroll: int = 128) -> jnp.ndarray:
+             unroll: int = 128, fast: bool = False) -> jnp.ndarray:
     """Apply the EQ cascade to (..., N) float32 signals.
 
     Matches the golden oracle (sequential lfilter cascade) to float32
     rounding; see tests/test_eq.py for the SNR gate.  Jit-compiled per
-    (fs, config, block, unroll, shape).
+    (fs, config, block, unroll, shape).  ``fast`` trades the output FIR
+    einsum down to bf16x3 (~100 dB vs oracle) for half the MXU time.
     """
     if cfg.bypass:
         return x
@@ -178,7 +190,7 @@ def equalize(x: jnp.ndarray, fs: int, cfg: EQConfig, block: int = 8192,
         # Active request but every band clamped away: reference still clips.
         return jnp.clip(x, -1.0, 1.0)
     ops = make_block_operators(bands, int(fs), cfg.q, block, unroll)
-    y = _equalize_blocks(x.astype(jnp.float32), ops)
+    y = _equalize_blocks(x.astype(jnp.float32), ops, fast=fast)
     return jnp.clip(y, -1.0, 1.0)
 
 
@@ -187,6 +199,7 @@ def equalize_frames(
     fs: int,
     cfg: EQConfig,
     groups_per_block: int = 128,
+    fast: bool = False,
 ) -> jnp.ndarray:
     """EQ on frame-major input (..., F, P) -> frame-major output, clipped.
 
@@ -215,7 +228,7 @@ def equalize_frames(
         frames.astype(jnp.float32),
         [(0, 0)] * len(lead) + [(0, pad), (0, 0)],
     ).reshape(lead + (K, G, P))
-    y0, end_states = _grouped_recurrence(x_g, ops)
+    y0, end_states = _grouped_recurrence(x_g, ops, fast=fast)
     sigma = _carry_states(end_states, ops)                    # (..., K, d)
     d = ops.A.shape[0]
     corr_g = jnp.asarray(
@@ -231,6 +244,7 @@ def _equalize_blocks(
     ops: BlockOperators,
     sigma0: jnp.ndarray | None = None,
     with_state: bool = False,
+    fast: bool = False,
 ):
     """Block-parallel recurrence over (..., N).
 
@@ -250,7 +264,7 @@ def _equalize_blocks(
     xb = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
     xb = xb.reshape(x.shape[:-1] + (K, block))
 
-    y0, end_states = _block_recurrence(xb, ops)
+    y0, end_states = _block_recurrence(xb, ops, fast=fast)
     sigma = _carry_states(end_states, ops, sigma0)  # (..., K, d)
     corr = jnp.asarray(ops.corr.T, dtype=jnp.float32)  # (d, block)
     y = y0 + einsum_f32("...kd,db->...kb", sigma, corr)

@@ -117,6 +117,33 @@ def test_eq_streaming_matches_oneshot(audio_short, split):
     np.testing.assert_allclose(got, want, atol=2e-5)
 
 
+def test_eq_fast_mode(audio_44k):
+    """bf16x3 output-FIR mode clears the oracle gate with wide margin and
+    only perturbs the full-precision result at the bf16^2 level."""
+    x, fs = audio_44k
+    cfg = EQConfig.from_gains(PRESETS[0])
+    want = equalize_oracle(x, fs, cfg)
+    got = np.asarray(equalize(jnp.asarray(x), fs, cfg, fast=True))
+    assert snr_db(want, got) > 80.0
+    ref = np.asarray(equalize(jnp.asarray(x), fs, cfg))
+    assert snr_db(ref, got) > 80.0
+
+
+def test_equalize_frames_fast_matches_flat_fast():
+    from dsp_audio_project_tpu.ops.eq import equalize_frames
+
+    rng = np.random.default_rng(3)
+    P, F = 160, 301
+    fs = 48000
+    cfg = EQConfig.from_gains(PRESETS[0])
+    x = (0.4 * rng.standard_normal(F * P)).astype(np.float32)
+    want = np.asarray(equalize(jnp.asarray(x), fs, cfg, fast=True))
+    got = np.asarray(
+        equalize_frames(jnp.asarray(x.reshape(F, P)), fs, cfg, fast=True)
+    ).reshape(-1)
+    assert snr_db(want, got) > 110.0
+
+
 def test_equalize_frames_matches_flat():
     """Frame-major EQ (the fused SRC->EQ handoff) equals the flat path."""
     from dsp_audio_project_tpu.ops.eq import equalize_frames
