@@ -57,11 +57,11 @@ def main() -> None:
 
     n = int(SECONDS * FS)
     x = make_signal(n, FS)
-    # eq_fast: bf16x3 output-FIR einsum — the serving configuration
-    # (~103 dB vs oracle, gate 60; full precision measures ~111 dB).
+    # eq_fast/src_fast: bf16x3 output matmuls — the serving configuration
+    # (~102 dB vs oracle, gate 60; full precision measures ~111 dB).
     cfg = PipelineConfig(
         src=SRCConfig(L=160, M=147), eq=EQConfig.from_gains(GAINS),
-        kernels=KernelConfig(eq_fast=True),
+        kernels=KernelConfig(eq_fast=True, src_fast=True),
     )
     pipe = AudioPipeline(cfg)
     # Fused frame-major path (shear FIR kernel -> frames EQ): no lane

@@ -176,6 +176,8 @@ class KernelConfig:
     # bf16x3 output-FIR einsum in the EQ (~100 dB vs oracle instead of 130+)
     # for half the EQ MXU time; the state/carry path stays full precision.
     eq_fast: bool = False
+    # bf16x3 polyphase matmul in the shear SRC kernel (same trade).
+    src_fast: bool = False
     interpret: bool = False          # run Pallas kernels in interpreter mode
 
     def resolve(self, path: str) -> str:

@@ -111,11 +111,24 @@ def _shear_kernel(x_hbm, g_ref, m_ref, o_ref, xbuf, sem, *, s, runs,
         # left-rotate by 2^bit == roll forward by width - 2^bit
         rolled = pltpu.roll(fw, width - (1 << bit), 1)
         fw = jnp.where(m_ref[bit] > 0, rolled, fw)
-    o_ref[0] = jnp.dot(
-        fw[:, :wp], g_ref[:, :],
-        preferred_element_type=jnp.float32,
-        precision=precision,
-    )
+    if precision == "fast":
+        # bf16x3: split the frame matrix, host-split filter — ~1e-5
+        # relative instead of f32, at half of HIGHEST's six MXU passes.
+        f = fw[:, :wp]
+        fh = f.astype(jnp.bfloat16)
+        fl = (f - fh.astype(jnp.float32)).astype(jnp.bfloat16)
+        gh = g_ref[0]
+        gl = g_ref[1]
+        acc = jnp.dot(fh, gh, preferred_element_type=jnp.float32)
+        acc += jnp.dot(fl, gh, preferred_element_type=jnp.float32)
+        acc += jnp.dot(fh, gl, preferred_element_type=jnp.float32)
+        o_ref[0] = acc
+    else:
+        o_ref[0] = jnp.dot(
+            fw[:, :wp], g_ref[:, :],
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
 
 
 @functools.lru_cache(maxsize=None)
@@ -123,6 +136,17 @@ def _padded_g_wp(plan: PolyphasePlan, wp: int):
     g = np.zeros((wp, plan.P), dtype=np.float32)
     g[: plan.W] = plan.G.astype(np.float32)
     return g
+
+
+@functools.lru_cache(maxsize=None)
+def _padded_g_wp_split(plan: PolyphasePlan, wp: int):
+    """(2, wp, P) bf16 exact hi/lo split of the filter for fast mode."""
+    import ml_dtypes
+
+    g = _padded_g_wp(plan, wp)
+    gh = g.astype(ml_dtypes.bfloat16)
+    gl = (g - gh.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    return np.stack([gh, gl])
 
 
 def polyphase_fir_shear_frames(
@@ -192,7 +216,14 @@ def polyphase_fir_shear_frames(
         _shear_kernel, s=s, runs=runs, num_cols=num_cols, wp=wp,
         super_=super_, rows_fetch=rows_fetch, precision=precision,
     )
-    gp = jnp.asarray(_padded_g_wp(plan, wp))
+    if precision == "fast":
+        gp = jnp.asarray(_padded_g_wp_split(plan, wp))
+        g_spec = pl.BlockSpec((2, wp, P), lambda b, t: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        gp = jnp.asarray(_padded_g_wp(plan, wp))
+        g_spec = pl.BlockSpec((wp, P), lambda b, t: (0, 0),
+                              memory_space=pltpu.VMEM)
     masks = jnp.asarray(np.tile(rot_bits, (1, super_, 1)))  # (7, S*128, 1)
 
     frames = pl.pallas_call(
@@ -200,8 +231,7 @@ def polyphase_fir_shear_frames(
         grid=(B, T),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),     # flat x stays in HBM
-            pl.BlockSpec((wp, P), lambda b, t: (0, 0),
-                         memory_space=pltpu.VMEM),
+            g_spec,
             pl.BlockSpec((7, frames_per_step, 1), lambda b, t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],

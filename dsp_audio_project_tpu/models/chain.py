@@ -149,6 +149,7 @@ class AudioPipeline:
             y_frames = polyphase_fir_shear_frames(
                 x.astype(jnp.float32), plan, n_out, pad_frames=True,
                 interpret=cfg.kernels.interpret,
+                **({"precision": "fast"} if cfg.kernels.src_fast else {}),
             )
         with trace_stage("eq_frames"):
             z_frames = equalize_frames(y_frames, fs_out, cfg.eq,

@@ -195,6 +195,29 @@ def test_fir_shear_kernel_matches_xla_path():
     assert np.max(np.abs(got.reshape(2, -1)[:, :n_out] - want)) < 1e-5
 
 
+def test_fir_shear_fast_mode():
+    """bf16x3 polyphase matmul holds ~1e-5 relative vs the XLA path."""
+    from dsp_audio_project_tpu.config import SRCConfig
+    from dsp_audio_project_tpu.kernels.fir_shear import (
+        polyphase_fir_shear_frames,
+    )
+    from dsp_audio_project_tpu.ops.src import make_plan, resample
+
+    cfg = SRCConfig(L=160, M=147)
+    plan = make_plan(160, 147)
+    x = (0.4 * np.random.default_rng(0).standard_normal(44100)).astype(
+        np.float32
+    )
+    n_out = cfg.output_length(len(x))
+    want, _ = resample(jnp.asarray(x), 44100, cfg)
+    fr = polyphase_fir_shear_frames(
+        jnp.asarray(x), plan, n_out, precision="fast", interpret=True
+    )
+    got = np.asarray(fr).reshape(-1)[:n_out]
+    w = np.asarray(want)
+    assert np.max(np.abs(got - w)) / np.max(np.abs(w)) < 5e-5
+
+
 def test_fir_shear_rejects_narrow_stride():
     from dsp_audio_project_tpu.kernels.fir_shear import (
         polyphase_fir_shear_frames,
