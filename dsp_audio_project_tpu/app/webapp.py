@@ -42,6 +42,30 @@ _BAND_RANGES = ("16-60 Hz", "60-250 Hz", "250-2k Hz", "2k-4k Hz",
                 "4k-6k Hz", "6k-16k Hz")  # app.py:155
 
 
+def _synth(kind: str, seconds: float = 10.0, fs: int = 44100):
+    t = np.arange(int(seconds * fs)) / fs
+    if kind == "tones":
+        x = (0.5 * np.sin(2 * np.pi * 440 * t)
+             + 0.25 * np.sin(2 * np.pi * 40 * t)
+             + 0.25 * np.sin(2 * np.pi * 9800 * t))
+    elif kind == "sweep":
+        f0, f1 = 20.0, 16000.0
+        phase = 2 * np.pi * f0 * seconds / np.log(f1 / f0) * (
+            np.exp(t / seconds * np.log(f1 / f0)) - 1.0
+        )
+        x = 0.8 * np.sin(phase)
+    else:  # noise
+        x = 0.6 * np.random.default_rng(7).standard_normal(len(t))
+    return (x / np.max(np.abs(x))).astype(np.float32), fs
+
+
+_EXAMPLES = {
+    "Three tones (40/440/9800 Hz)": lambda: _synth("tones"),
+    "Log sweep 20 Hz - 16 kHz": lambda: _synth("sweep"),
+    "White noise": lambda: _synth("noise"),
+}
+
+
 def main() -> None:  # pragma: no cover - UI glue, needs streamlit
     if not HAVE_STREAMLIT:
         raise SystemExit(
@@ -66,13 +90,27 @@ def main() -> None:  # pragma: no cover - UI glue, needs streamlit
         st.session_state.session_id = str(uuid.uuid4())
 
     st.sidebar.header("Input")
-    upload = st.sidebar.file_uploader("Upload WAV", type=["wav"])
-    if upload is not None and upload.name != st.session_state.name:
-        x, fs = load_signal(upload.read())
-        st.session_state.signal = x
-        st.session_state.fs = fs
-        st.session_state.name = upload.name
-        st.session_state.session_id = str(uuid.uuid4())
+    # Source radio (A2/A5, app.py:51-60,116-135).  The reference ships
+    # example WAVs (stripped from its repo); synthesized test signals play
+    # the same role here.
+    source = st.sidebar.radio("Source", ["Example signal", "Upload WAV"])
+    if source == "Upload WAV":
+        upload = st.sidebar.file_uploader("Upload WAV", type=["wav"])
+        if upload is not None and upload.name != st.session_state.name:
+            x, fs = load_signal(upload.read())
+            st.session_state.signal = x
+            st.session_state.fs = fs
+            st.session_state.name = upload.name
+            st.session_state.session_id = str(uuid.uuid4())
+    else:
+        example = st.sidebar.selectbox("Example", list(_EXAMPLES))
+        key = f"example:{example}"
+        if key != st.session_state.name:
+            x, fs = _EXAMPLES[example]()
+            st.session_state.signal = x
+            st.session_state.fs = fs
+            st.session_state.name = key
+            st.session_state.session_id = str(uuid.uuid4())
 
     if st.session_state.signal is None:
         st.info("Load a WAV to start processing.")
