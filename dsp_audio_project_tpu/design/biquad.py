@@ -163,6 +163,11 @@ class BlockOperators:
     # evolution run as ONE matmul instead of a G-step lax.scan (the scan's
     # per-step while-loop overhead dominated the whole EQ on TPU).
     group_toeplitz: np.ndarray
+    # (G, d, d): A^{g*U} for g = 0..G-1 — maps a block's true initial state
+    # onto each group's entry state (s_true[g] = s_in[g] + A^{gU} sigma), so
+    # the block correction rides the SAME group_out matmul as the zero-init
+    # term instead of a second full-width (block, d) correction matmul.
+    group_pows: np.ndarray
 
 
 def block_operators(ss: StateSpace, block: int, unroll: int = 16) -> BlockOperators:
@@ -206,8 +211,9 @@ def block_operators(ss: StateSpace, block: int, unroll: int = 16) -> BlockOperat
     for r in range(G):
         for v in range(r + 1):
             toe[v * d:(v + 1) * d, r * d:(r + 1) * d] = pows[(r - v) * U].T
+    group_pows = np.stack([pows[g * U] for g in range(G)])  # (G, d, d)
     return BlockOperators(
         A=A32, B=B32, C=C32, D=D32, corr=corr, state_corr=Apow, block=block,
         unroll=U, group_A=group_A, group_in=group_in, group_out=group_out,
-        group_fir=group_fir, group_toeplitz=toe,
+        group_fir=group_fir, group_toeplitz=toe, group_pows=group_pows,
     )

@@ -129,6 +129,57 @@ def _grouped_recurrence(
     return y0, end_states
 
 
+def _grouped_states(
+    x_g: jnp.ndarray, ops: BlockOperators
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Zero-init group-entry states for (..., K, G, U) input.
+
+    Returns (s_in (..., K, G, d): state entering each group from a zero
+    block start, end_states (..., K, d)).
+    """
+    d = ops.A.shape[0]
+    G = x_g.shape[-2]
+    lead = x_g.shape[:-2]
+    gIn = jnp.asarray(ops.group_in, dtype=jnp.float32)        # (U, d)
+    toe = jnp.asarray(ops.group_toeplitz, dtype=jnp.float32)  # (G d, G d)
+    inj = einsum_f32("...gu,ud->...gd", x_g, gIn)             # (..., K, G, d)
+    s_tail = einsum_f32(
+        "...x,xy->...y", inj.reshape(lead + (G * d,)), toe
+    ).reshape(lead + (G, d))                                  # s_1..s_G
+    end_states = s_tail[..., G - 1, :]
+    s_in = jnp.concatenate(
+        [jnp.zeros(lead + (1, d), jnp.float32), s_tail[..., : G - 1, :]],
+        axis=-2,
+    )
+    return s_in, end_states
+
+
+def _grouped_apply(
+    x_g: jnp.ndarray,
+    s_in: jnp.ndarray,
+    sigma: jnp.ndarray,
+    ops: BlockOperators,
+    fast: bool = False,
+) -> jnp.ndarray:
+    """Output pass with the block carry folded into the group states.
+
+    The true state entering group g of block k is s_in[k,g] + A^{gU}
+    sigma[k], so the carry correction rides the SAME (d, U) group_out
+    matmul as the zero-init term — one full-width output intermediate
+    instead of the two (y0 + separate (block, d) correction matmul) of the
+    naive formulation, saving a (K*block)-sized HBM round trip.
+    """
+    gOut = jnp.asarray(ops.group_out, dtype=jnp.float32)      # (d, U)
+    gFir = jnp.asarray(ops.group_fir.T, dtype=jnp.float32)    # (U, U)
+    gPows = jnp.asarray(ops.group_pows, dtype=jnp.float32)    # (G, d, d)
+    s_true = s_in + einsum_f32("gef,...kf->...kge", gPows, sigma)
+    fir_prec = jax.lax.Precision.HIGH if fast else jax.lax.Precision.HIGHEST
+    return jnp.einsum(
+        "...gu,uv->...gv", x_g, gFir, precision=fir_prec,
+        preferred_element_type=jnp.float32,
+    ) + einsum_f32("...kge,eu->...kgu", s_true, gOut)
+
+
 def _carry_states(
     end_states: jnp.ndarray,
     ops: BlockOperators,
@@ -228,13 +279,9 @@ def equalize_frames(
         frames.astype(jnp.float32),
         [(0, 0)] * len(lead) + [(0, pad), (0, 0)],
     ).reshape(lead + (K, G, P))
-    y0, end_states = _grouped_recurrence(x_g, ops, fast=fast)
+    s_in, end_states = _grouped_states(x_g, ops)
     sigma = _carry_states(end_states, ops)                    # (..., K, d)
-    d = ops.A.shape[0]
-    corr_g = jnp.asarray(
-        ops.corr.reshape(G, P, d), dtype=jnp.float32
-    )
-    y = y0 + einsum_f32("...kd,gud->...kgu", sigma, corr_g)
+    y = _grouped_apply(x_g, s_in, sigma, ops, fast=fast)
     y = y.reshape(lead + (K * G, P))[..., :F, :]
     return jnp.clip(y, -1.0, 1.0)
 
@@ -262,12 +309,13 @@ def _equalize_blocks(
             f"state carry requires length {n} to be a multiple of block {block}"
         )
     xb = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
-    xb = xb.reshape(x.shape[:-1] + (K, block))
+    U = ops.unroll
+    G = block // U
+    x_g = xb.reshape(x.shape[:-1] + (K, G, U))
 
-    y0, end_states = _block_recurrence(xb, ops, fast=fast)
+    s_in, end_states = _grouped_states(x_g, ops)
     sigma = _carry_states(end_states, ops, sigma0)  # (..., K, d)
-    corr = jnp.asarray(ops.corr.T, dtype=jnp.float32)  # (d, block)
-    y = y0 + einsum_f32("...kd,db->...kb", sigma, corr)
+    y = _grouped_apply(x_g, s_in, sigma, ops, fast=fast)
     y = y.reshape(x.shape[:-1] + (K * block,))[..., :n]
     if not with_state:
         return y

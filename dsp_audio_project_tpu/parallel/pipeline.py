@@ -279,15 +279,17 @@ def build_sharded_pipeline(
         if not eq_active:
             z_loc = jnp.clip(y_loc, -1.0, 1.0) if not eq_cfg.bypass else y_loc
             return z_loc, y_loc
-        # ONE local block pass: zero-init outputs + local carries; the
-        # cross-shard state folds in through the correction matmul instead
-        # of a second full pass.
-        xb = y_loc.reshape(y_loc.shape[:-1] + (K_loc, ops.block))
-        y0, e = eq_ops._block_recurrence(xb, ops)
+        # ONE local block pass: zero-init states + local carries; the
+        # cross-shard state folds into the group-entry states (no second
+        # full-width pass).
+        U = ops.unroll
+        x_g = y_loc.reshape(
+            y_loc.shape[:-1] + (K_loc, ops.block // U, U)
+        )
+        s_in, e = eq_ops._grouped_states(x_g, ops)
         sigma_local = eq_ops._carry_states(e, ops)          # (..., K, d)
         sigma = _shard_sigma(e, sigma_local)
-        corr = jnp.asarray(ops.corr.T, dtype=jnp.float32)   # (d, block)
-        z_loc = (y0 + einsum_f32("...kd,db->...kb", sigma, corr)).reshape(
+        z_loc = eq_ops._grouped_apply(x_g, s_in, sigma, ops).reshape(
             y_loc.shape
         )
         return jnp.clip(z_loc, -1.0, 1.0), y_loc
@@ -305,14 +307,10 @@ def build_sharded_pipeline(
             return z_loc, y_loc
         fpb = ops.block // plan.P
         x_g = y_fr.reshape(lead + (K_loc, fpb, plan.P))
-        y0, e = eq_ops._grouped_recurrence(x_g, ops)
+        s_in, e = eq_ops._grouped_states(x_g, ops)
         sigma_local = eq_ops._carry_states(e, ops)          # (..., K, d)
         sigma = _shard_sigma(e, sigma_local)
-        d = ops.A.shape[0]
-        corr_g = jnp.asarray(
-            ops.corr.reshape(fpb, plan.P, d), dtype=jnp.float32
-        )
-        z = y0 + einsum_f32("...kd,gud->...kgu", sigma, corr_g)
+        z = eq_ops._grouped_apply(x_g, s_in, sigma, ops)
         return jnp.clip(z.reshape(y_loc.shape), -1.0, 1.0), y_loc
 
     spec = P(CHANNEL_AXIS, BLOCK_AXIS)
