@@ -169,15 +169,26 @@ def _grouped_apply(
     instead of the two (y0 + separate (block, d) correction matmul) of the
     naive formulation, saving a (K*block)-sized HBM round trip.
     """
-    gOut = jnp.asarray(ops.group_out, dtype=jnp.float32)      # (d, U)
-    gFir = jnp.asarray(ops.group_fir.T, dtype=jnp.float32)    # (U, U)
     gPows = jnp.asarray(ops.group_pows, dtype=jnp.float32)    # (G, d, d)
     s_true = s_in + einsum_f32("gef,...kf->...kge", gPows, sigma)
-    fir_prec = jax.lax.Precision.HIGH if fast else jax.lax.Precision.HIGHEST
+    # ONE (U+d, U) matmul: [x | s_true] @ [[group_fir], [group_out]] — the
+    # FIR and state readouts share an output buffer instead of two
+    # full-width matmul outputs plus an add fusion (one fewer K*block HBM
+    # round trip; both terms are output-only, so ``fast`` precision is
+    # safe for the pair).
+    w_cat = jnp.concatenate(
+        [
+            jnp.asarray(ops.group_fir.T, dtype=jnp.float32),   # (U, U)
+            jnp.asarray(ops.group_out, dtype=jnp.float32),     # (d, U)
+        ],
+        axis=0,
+    )
+    xs = jnp.concatenate([x_g, s_true], axis=-1)               # (..., U+d)
+    prec = jax.lax.Precision.HIGH if fast else jax.lax.Precision.HIGHEST
     return jnp.einsum(
-        "...gu,uv->...gv", x_g, gFir, precision=fir_prec,
+        "...gu,uv->...gv", xs, w_cat, precision=prec,
         preferred_element_type=jnp.float32,
-    ) + einsum_f32("...kge,eu->...kgu", s_true, gOut)
+    )
 
 
 def _carry_states(

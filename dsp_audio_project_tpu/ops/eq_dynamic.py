@@ -207,7 +207,7 @@ def _dynamic_operators(gains_db: jnp.ndarray, fs: int, cfg: EQConfig,
     """In-graph (traced-gains) block operators for a (U, G) geometry.
 
     Returns (group_in (U,d), group_out (d,U), fir (U,U), toe (Gd,Gd),
-    A_blk (d,d), corr (G,U,d)) — all f32-rounded views of one df32-exact
+    A_blk (d,d), pows_g (G,d,d)) — all f32-rounded views of one df32-exact
     system (see module docstring).
     """
     import numpy as np
@@ -258,16 +258,13 @@ def _dynamic_operators(gains_db: jnp.ndarray, fs: int, cfg: EQConfig,
 
     pg = _cumulative_powers(A_U_df, G + 1)           # df (G+1, d, d): (A^U)^g
     A_blk = pg[0][G] + pg[1][G]                      # A^block
-    # corr rows: C A^{gU+u} = (C A^u) (A^U)^g — row vector times matrix.
-    CA_b = (
-        jnp.broadcast_to(CA_u[0], (G, U, d)),
-        jnp.broadcast_to(CA_u[1], (G, U, d)),
-    )
-    corr = df32.to_f32(df32.mmul(CA_b, (pg[0][:G], pg[1][:G])))  # (G, U, d)
+    # (A^U)^g maps a block's true initial state onto group g's entry state
+    # (the fused-state apply of ops/eq: s_true = s_in + A^{gU} sigma).
+    pows_g = pg[0][:G] + pg[1][:G]                        # (G, d, d) f32
 
     # In-graph block Toeplitz (same scan-free structure as ops/eq): block
     # (v, r) holds ((A^U)^{r-v})^T; built by gathering the df-exact powers.
-    pow_T = jnp.swapaxes(pg[0][:G] + pg[1][:G], -1, -2)   # (G, d, d) f32
+    pow_T = jnp.swapaxes(pows_g, -1, -2)                  # (G, d, d) f32
     rr = jnp.arange(G)
     diff = rr[None, :] - rr[:, None]                      # (v, r) -> r - v
     toe = jnp.where(
@@ -276,7 +273,7 @@ def _dynamic_operators(gains_db: jnp.ndarray, fs: int, cfg: EQConfig,
         0.0,
     )                                                     # (G, G, d, d)
     toe = jnp.transpose(toe, (0, 2, 1, 3)).reshape(G * d, G * d)
-    return group_in, group_out, fir, toe, A_blk, corr
+    return group_in, group_out, fir, toe, A_blk, pows_g
 
 
 def _dynamic_grouped(x_g: jnp.ndarray, ops) -> jnp.ndarray:
@@ -285,7 +282,7 @@ def _dynamic_grouped(x_g: jnp.ndarray, ops) -> jnp.ndarray:
     Returns the corrected (unclipped) output in grouped form.
     """
     f32 = jnp.float32
-    group_in, group_out, fir, toe, A_blk, corr = ops
+    group_in, group_out, fir, toe, A_blk, pows_g = ops
     d = group_in.shape[-1]
     G = x_g.shape[-2]
     K = x_g.shape[-3]
@@ -298,9 +295,6 @@ def _dynamic_grouped(x_g: jnp.ndarray, ops) -> jnp.ndarray:
     e_states = s_tail[..., G - 1, :]
     s_in = jnp.concatenate(
         [jnp.zeros(lead + (1, d), f32), s_tail[..., : G - 1, :]], axis=-2
-    )
-    y0 = einsum_f32("...gu,uv->...gv", x_g, fir.T) + einsum_f32(
-        "...gd,du->...gu", s_in, group_out
     )
 
     # carry scan over blocks
@@ -327,7 +321,12 @@ def _dynamic_grouped(x_g: jnp.ndarray, ops) -> jnp.ndarray:
 
     _, sigma = jax.lax.associative_scan(combine, (mats, vecs), axis=k_axis)
 
-    return y0 + einsum_f32("...kd,gud->...kgu", sigma, corr)
+    # Fused-state apply (see ops/eq._grouped_apply): the carry rides the
+    # group_out matmul instead of a second full-width correction matmul.
+    s_true = s_in + einsum_f32("gef,...kf->...kge", pows_g, sigma)
+    return einsum_f32("...gu,uv->...gv", x_g, fir.T) + einsum_f32(
+        "...kge,eu->...kgu", s_true, group_out
+    )
 
 
 @functools.partial(
