@@ -39,6 +39,7 @@ from .ops.spectrum import (
     spectrogram,
     spectrum_db,
     stft,
+    stft_planes,
 )
 from .ops.src import resample
 from .streaming import StreamProcessor, StreamState
@@ -80,6 +81,7 @@ __all__ = [
     "read_wav",
     "resample",
     "spectrogram",
+    "stft_planes",
     "spectrum_db",
     "stft",
     "StreamProcessor",

@@ -181,9 +181,11 @@ class AudioPipeline:
             y_frames = polyphase_fir_shear_frames(
                 x.astype(jnp.float32), plan, n_out, pad_frames=True,
                 interpret=cfg.kernels.interpret,
+                **({"precision": "fast"} if cfg.kernels.src_fast else {}),
             )
             z_frames = equalize_dynamic_frames(
-                y_frames, gains_db, fs_out, cfg.eq
+                y_frames, gains_db, fs_out, cfg.eq,
+                fast=cfg.kernels.eq_fast,
             )
             return z_frames, y_frames
 

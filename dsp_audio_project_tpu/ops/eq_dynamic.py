@@ -276,10 +276,11 @@ def _dynamic_operators(gains_db: jnp.ndarray, fs: int, cfg: EQConfig,
     return group_in, group_out, fir, toe, A_blk, pows_g
 
 
-def _dynamic_grouped(x_g: jnp.ndarray, ops) -> jnp.ndarray:
+def _dynamic_grouped(x_g: jnp.ndarray, ops, fast: bool = False) -> jnp.ndarray:
     """Scan-free data path on grouped input (..., K, G, U), traced operators.
 
-    Returns the corrected (unclipped) output in grouped form.
+    Returns the corrected (unclipped) output in grouped form.  ``fast``
+    runs the output matmul at bf16x3 (see ops/eq._grouped_apply).
     """
     f32 = jnp.float32
     group_in, group_out, fir, toe, A_blk, pows_g = ops
@@ -322,15 +323,19 @@ def _dynamic_grouped(x_g: jnp.ndarray, ops) -> jnp.ndarray:
     _, sigma = jax.lax.associative_scan(combine, (mats, vecs), axis=k_axis)
 
     # Fused-state apply (see ops/eq._grouped_apply): the carry rides the
-    # group_out matmul instead of a second full-width correction matmul.
+    # group_out matmul, and FIR + state readout share ONE concat matmul.
     s_true = s_in + einsum_f32("gef,...kf->...kge", pows_g, sigma)
-    return einsum_f32("...gu,uv->...gv", x_g, fir.T) + einsum_f32(
-        "...kge,eu->...kgu", s_true, group_out
+    w_cat = jnp.concatenate([fir.T, group_out], axis=0)     # (U+d, U)
+    xs = jnp.concatenate([x_g, s_true], axis=-1)            # (..., U+d)
+    prec = jax.lax.Precision.HIGH if fast else jax.lax.Precision.HIGHEST
+    return jnp.einsum(
+        "...gu,uv->...gv", xs, w_cat, precision=prec,
+        preferred_element_type=f32,
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("fs", "cfg", "block", "unroll")
+    jax.jit, static_argnames=("fs", "cfg", "block", "unroll", "fast")
 )
 def equalize_dynamic(
     x: jnp.ndarray,
@@ -339,12 +344,13 @@ def equalize_dynamic(
     cfg: EQConfig = EQConfig(),
     block: int = 8192,
     unroll: int = 128,
+    fast: bool = False,
 ) -> jnp.ndarray:
     """EQ with traced gains: one compile serves every gain vector.
 
     ``gains_db``: (n_bands,) float array, ordered like cfg.band_centers.
     Matches the static path / golden oracle to f32 rounding (tests gate
-    110 dB).
+    110 dB); ``fast`` trades the output matmul to bf16x3 (~100 dB).
     """
     assert block % unroll == 0
     f32 = jnp.float32
@@ -357,13 +363,13 @@ def equalize_dynamic(
     pad = K * block - n
     xb = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
     x_g = xb.reshape(x.shape[:-1] + (K, G, U))
-    y = _dynamic_grouped(x_g, ops)
+    y = _dynamic_grouped(x_g, ops, fast=fast)
     y = y.reshape(x.shape[:-1] + (K * block,))[..., :n]
     return jnp.clip(y, -1.0, 1.0)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("fs", "cfg", "groups_per_block")
+    jax.jit, static_argnames=("fs", "cfg", "groups_per_block", "fast")
 )
 def equalize_dynamic_frames(
     frames: jnp.ndarray,
@@ -371,6 +377,7 @@ def equalize_dynamic_frames(
     fs: int,
     cfg: EQConfig = EQConfig(),
     groups_per_block: int = 128,
+    fast: bool = False,
 ) -> jnp.ndarray:
     """Traced-gains EQ on frame-major input (..., F, P) -> frames, clipped.
 
@@ -389,6 +396,6 @@ def equalize_dynamic_frames(
     x_g = jnp.pad(
         frames.astype(f32), [(0, 0)] * len(lead) + [(0, pad), (0, 0)]
     ).reshape(lead + (K, G, P))
-    y = _dynamic_grouped(x_g, ops)
+    y = _dynamic_grouped(x_g, ops, fast=fast)
     y = y.reshape(lead + (K * G, P))[..., :F, :]
     return jnp.clip(y, -1.0, 1.0)

@@ -164,3 +164,23 @@ def spectrogram(
     """Power spectrogram |STFT|^2: (..., frames, nfft//2+1)."""
     s = stft(x, nfft=nfft, hop=hop)
     return (s.real**2 + s.imag**2).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("nfft", "hop", "pad_end"))
+def stft_planes(
+    x: jnp.ndarray,
+    nfft: int = 2048,
+    hop: int = 512,
+    pad_end: bool = True,
+) -> jnp.ndarray:
+    """STFT as stacked real planes: (..., 2, frames, nfft//2+1) f32.
+
+    Host-fetch-safe variant of ``stft``: some TPU runtimes (this image's
+    axon backend included) cannot transfer complex64 arrays to the host —
+    planes [0] = real, [1] = imag fetch as plain float32.  Recombine with
+    ``planes[..., 0, :, :] + 1j * planes[..., 1, :, :]``.
+    """
+    s = stft(x, nfft=nfft, hop=hop, pad_end=pad_end)
+    return jnp.stack(
+        [s.real.astype(jnp.float32), s.imag.astype(jnp.float32)], axis=-3
+    )

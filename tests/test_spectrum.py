@@ -90,3 +90,16 @@ def test_stft_hop_validation(rng):
 
     with pytest.raises(ValueError, match="divide"):
         stft(jnp.zeros(1000), nfft=1024, hop=300)
+
+
+def test_stft_planes_matches_stft(rng):
+    """Fetch-safe planes form recombines to the complex STFT exactly."""
+    from dsp_audio_project_tpu.ops.spectrum import stft, stft_planes
+
+    x = jnp.asarray(rng.standard_normal((2, 5000)).astype(np.float32))
+    want = np.asarray(stft(x, nfft=1024, hop=256))
+    p = np.asarray(stft_planes(x, nfft=1024, hop=256))
+    assert p.dtype == np.float32
+    assert p.shape == want.shape[:-2] + (2,) + want.shape[-2:]
+    got = p[..., 0, :, :] + 1j * p[..., 1, :, :]
+    np.testing.assert_array_equal(got, want)
