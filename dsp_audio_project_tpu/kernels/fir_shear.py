@@ -79,7 +79,8 @@ def _shear_geometry(s: int, W: int):
 
 
 def _shear_kernel(x_hbm, g_ref, m_ref, o_ref, xbuf, sem, *, s, runs,
-                  num_cols, wp, super_, rows_fetch, precision):
+                  num_cols, wp, super_, rows_fetch, precision,
+                  split_subtiles=False):
     b = pl.program_id(0)
     t = pl.program_id(1)
     cp = pltpu.make_async_copy(
@@ -89,8 +90,26 @@ def _shear_kernel(x_hbm, g_ref, m_ref, o_ref, xbuf, sem, *, s, runs,
     cp.wait()
 
     slab = xbuf[:, :]                                  # (rows_fetch, 128)
-    tiles = []
-    for u in range(super_):
+    width = 128 * num_cols
+
+    def matmul(f):
+        if precision == "fast":
+            # bf16x3: split the frame matrix, host-split filter — ~1e-5
+            # relative instead of f32, at half of HIGHEST's six MXU passes.
+            fh = f.astype(jnp.bfloat16)
+            fl = (f - fh.astype(jnp.float32)).astype(jnp.bfloat16)
+            gh = g_ref[0]
+            gl = g_ref[1]
+            acc = jnp.dot(fh, gh, preferred_element_type=jnp.float32)
+            acc += jnp.dot(fl, gh, preferred_element_type=jnp.float32)
+            acc += jnp.dot(fh, gl, preferred_element_type=jnp.float32)
+            return acc
+        return jnp.dot(
+            f, g_ref[:, :], preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+
+    def shear_tile(u):
         base = u * s
         cols = []
         for j in range(num_cols):
@@ -102,33 +121,29 @@ def _shear_kernel(x_hbm, g_ref, m_ref, o_ref, xbuf, sem, *, s, runs,
                 parts[0] if len(parts) == 1
                 else jnp.concatenate(parts, axis=0)
             )
-        tiles.append(
-            cols[0] if num_cols == 1 else jnp.concatenate(cols, axis=1)
-        )
+        return cols[0] if num_cols == 1 else jnp.concatenate(cols, axis=1)
+
+    if split_subtiles:
+        # Per-subtile shear -> rotate -> matmul chains are independent, so
+        # Mosaic can overlap subtile u's MXU matmul with u+1's VPU shear.
+        outs = []
+        for u in range(super_):
+            fw = shear_tile(u)
+            mref_u = m_ref[:, u * TILE_FRAMES:(u + 1) * TILE_FRAMES]
+            for bit in range(7):
+                rolled = pltpu.roll(fw, width - (1 << bit), 1)
+                fw = jnp.where(mref_u[bit] > 0, rolled, fw)
+            outs.append(matmul(fw[:, :wp]))
+        o_ref[0] = jnp.concatenate(outs, axis=0)
+        return
+
+    tiles = [shear_tile(u) for u in range(super_)]
     fw = tiles[0] if super_ == 1 else jnp.concatenate(tiles, axis=0)
-    width = 128 * num_cols
     for bit in range(7):
         # left-rotate by 2^bit == roll forward by width - 2^bit
         rolled = pltpu.roll(fw, width - (1 << bit), 1)
         fw = jnp.where(m_ref[bit] > 0, rolled, fw)
-    if precision == "fast":
-        # bf16x3: split the frame matrix, host-split filter — ~1e-5
-        # relative instead of f32, at half of HIGHEST's six MXU passes.
-        f = fw[:, :wp]
-        fh = f.astype(jnp.bfloat16)
-        fl = (f - fh.astype(jnp.float32)).astype(jnp.bfloat16)
-        gh = g_ref[0]
-        gl = g_ref[1]
-        acc = jnp.dot(fh, gh, preferred_element_type=jnp.float32)
-        acc += jnp.dot(fl, gh, preferred_element_type=jnp.float32)
-        acc += jnp.dot(fh, gl, preferred_element_type=jnp.float32)
-        o_ref[0] = acc
-    else:
-        o_ref[0] = jnp.dot(
-            fw[:, :wp], g_ref[:, :],
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        )
+    o_ref[0] = matmul(fw[:, :wp])
 
 
 @functools.lru_cache(maxsize=None)
@@ -159,6 +174,7 @@ def polyphase_fir_shear_frames(
     pad_frames: bool = False,
     num_frames: int | None = None,
     pad_left: int | None = None,
+    split_subtiles: bool = False,
 ) -> jnp.ndarray:
     """Resample (..., N) -> frames (..., ceil(n_out/P), P).
 
@@ -185,6 +201,7 @@ def polyphase_fir_shear_frames(
         return polyphase_fir_shear_frames(
             x[None], plan, n_out, precision=precision, interpret=interpret,
             pad_frames=pad_frames, num_frames=num_frames, pad_left=pad_left,
+            split_subtiles=split_subtiles,
         )[0]
     lead = x.shape[:-1]
     n = x.shape[-1]
@@ -215,6 +232,7 @@ def polyphase_fir_shear_frames(
     kern = functools.partial(
         _shear_kernel, s=s, runs=runs, num_cols=num_cols, wp=wp,
         super_=super_, rows_fetch=rows_fetch, precision=precision,
+        split_subtiles=split_subtiles,
     )
     if precision == "fast":
         gp = jnp.asarray(_padded_g_wp_split(plan, wp))

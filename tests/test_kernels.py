@@ -218,6 +218,29 @@ def test_fir_shear_fast_mode():
     assert np.max(np.abs(got - w)) / np.max(np.abs(w)) < 5e-5
 
 
+def test_fir_shear_split_subtiles_matches():
+    """Per-subtile variant (independent shear->matmul chains) is exact."""
+    from dsp_audio_project_tpu.config import SRCConfig
+    from dsp_audio_project_tpu.kernels.fir_shear import (
+        polyphase_fir_shear_frames,
+    )
+    from dsp_audio_project_tpu.ops.src import make_plan
+
+    cfg = SRCConfig(L=160, M=147)
+    plan = make_plan(160, 147)
+    x = (0.4 * np.random.default_rng(1).standard_normal(30000)).astype(
+        np.float32
+    )
+    n_out = cfg.output_length(len(x))
+    a = polyphase_fir_shear_frames(
+        jnp.asarray(x), plan, n_out, interpret=True
+    )
+    b = polyphase_fir_shear_frames(
+        jnp.asarray(x), plan, n_out, interpret=True, split_subtiles=True
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_fir_shear_rejects_narrow_stride():
     from dsp_audio_project_tpu.kernels.fir_shear import (
         polyphase_fir_shear_frames,
