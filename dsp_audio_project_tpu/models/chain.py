@@ -44,6 +44,10 @@ class AudioPipeline:
         self.config = config
         # fs is static: it feeds filter design and rate arithmetic on host.
         self._jitted = jax.jit(self._forward, static_argnums=(1,))
+        self._jitted_frames = jax.jit(self._forward_frames, static_argnums=(1,))
+        self._jitted_frames_flat = jax.jit(
+            self._forward_frames_flat, static_argnums=(1,)
+        )
 
     def _forward(self, x: jnp.ndarray, fs: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
         from ..utils.profiling import trace_stage
@@ -97,7 +101,17 @@ class AudioPipeline:
     ) -> PipelineOutputs:
         x = jnp.asarray(x, dtype=jnp.float32)
         fs_out = self.output_rate(fs)
-        z, y = self._jitted(x, fs)
+        # Default to the fused frame-major fast path where it applies (TPU
+        # with a compatible plan): same results, no device-side lane
+        # retiles.
+        if (
+            jax.default_backend() == "tpu"
+            and not self.config.kernels.interpret
+            and self.frames_supported(x.shape[-1])
+        ):
+            z, y = self._jitted_frames_flat(x, fs)
+        else:
+            z, y = self._jitted(x, fs)
         spectra = None
         if with_spectra:
             scfg = self.config.spectrum
@@ -156,9 +170,17 @@ class AudioPipeline:
                                        fast=cfg.kernels.eq_fast)
         return z_frames, y_frames
 
+    def _forward_frames_flat(self, x: jnp.ndarray, fs: int):
+        """Fused path with the flat crop inside the jit boundary."""
+        zf, yf = self._forward_frames(x, fs)
+        n_out = self.config.src.output_length(x.shape[-1])
+        z = zf.reshape(zf.shape[:-2] + (-1,))[..., :n_out]
+        y = yf.reshape(yf.shape[:-2] + (-1,))[..., :n_out]
+        return z, y
+
     def jit_forward_frames(self):
         """Jitted fused (x, fs) -> (z_frames, y_frames); see frames_supported."""
-        return jax.jit(self._forward_frames, static_argnums=(1,))
+        return self._jitted_frames
 
     def jit_forward_frames_dynamic(self):
         """Jitted fused (x, gains_db, fs) -> (z_frames, y_frames).
