@@ -83,7 +83,22 @@ def build_parser() -> argparse.ArgumentParser:
         help="keep channels separate (reference mixes to mono); processes "
              "all channels as a batch and writes a multichannel WAV",
     )
+    p.add_argument(
+        "--mesh", metavar="CxB", default=None,
+        help="shard over a device mesh: C channel-parallel x B time-block "
+             "devices (e.g. --mesh 2x4); requires C*B <= len(jax.devices())",
+    )
     return p
+
+
+def _parse_mesh(text: str):
+    try:
+        c, _, b = text.lower().partition("x")
+        return int(c), int(b)
+    except ValueError:
+        raise argparse.ArgumentTypeError(
+            f"--mesh expects CxB (e.g. 2x4), got {text!r}"
+        )
 
 
 def main(argv=None) -> int:
@@ -119,8 +134,40 @@ def main(argv=None) -> int:
         src=SRCConfig(L=args.expand, M=args.decimate),
         eq=EQConfig.from_gains(dict(args.gain)),
     )
-    pipe = AudioPipeline(cfg)
-    out = pipe(x, fs, with_spectra=bool(args.spectra))
+    if args.mesh:
+        import jax
+
+        from .config import MeshConfig
+        from .models.chain import PipelineOutputs
+        from .ops.spectrum import magnitude_spectrum
+        from .parallel.mesh import build_mesh
+        from .parallel.pipeline import run_sharded
+
+        mc, mb = _parse_mesh(args.mesh)
+        if mc * mb > len(jax.devices()):
+            print(
+                f"error: mesh {mc}x{mb} needs {mc*mb} devices, have "
+                f"{len(jax.devices())}", file=sys.stderr,
+            )
+            return 2
+        mesh = build_mesh(MeshConfig(channel_devices=mc, block_devices=mb))
+        x2 = np.atleast_2d(np.asarray(x))
+        z, y, fs_out, _ = run_sharded(x2, fs, cfg, mesh)
+        if x.ndim == 1:
+            z, y = z[0], y[0]
+        spectra = None
+        if args.spectra:
+            scfg = cfg.spectrum
+            spectra = {
+                "input": magnitude_spectrum(x, fs, scfg),
+                "resampled": magnitude_spectrum(y, fs_out, scfg),
+                "output": magnitude_spectrum(z, fs_out, scfg),
+            }
+        out = PipelineOutputs(output=z, resampled=y, fs_out=fs_out,
+                              spectra=spectra)
+    else:
+        pipe = AudioPipeline(cfg)
+        out = pipe(x, fs, with_spectra=bool(args.spectra))
 
     ch = f"{x.shape[0]}ch " if x.ndim == 2 else ""
     print(

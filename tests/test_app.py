@@ -90,6 +90,32 @@ def test_webapp_import_guard():
             webapp.main()
 
 
+def test_cli_mesh_sharded(tmp_path, rng):
+    """--mesh CxB routes through the sharded pipeline (8 virtual devices)."""
+    from dsp_audio_project_tpu.cli import main
+
+    fs = 16000
+    stereo = (rng.standard_normal((8000, 2)) * 12000).astype(np.int16)
+    src = str(tmp_path / "m.wav")
+    write_wav(src, fs, stereo)
+    out = str(tmp_path / "m_out.wav")
+    rc = main([src, out, "-L", "3", "-M", "2", "-g", "Bass=6",
+               "--multichannel", "--mesh", "2x4"])
+    assert rc == 0
+    y, fs_out = read_wav(out)
+    assert fs_out == fs * 3 // 2 and y.shape[1] == 2
+    # unsharded run must agree
+    out1 = str(tmp_path / "m1.wav")
+    assert main([src, out1, "-L", "3", "-M", "2", "-g", "Bass=6",
+                 "--multichannel"]) == 0
+    y1, _ = read_wav(out1)
+    np.testing.assert_allclose(
+        y.astype(np.float64), y1.astype(np.float64), atol=2.0
+    )
+    # over-subscription is a clean error
+    assert main([src, out, "--mesh", "9x9"]) == 2
+
+
 def test_cli_multichannel(tmp_path, rng):
     from dsp_audio_project_tpu.cli import main
 
