@@ -92,13 +92,15 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def _parse_mesh(text: str):
+    """CxB with C, B >= 1, or None on malformed input."""
+    c, sep, b = text.lower().partition("x")
     try:
-        c, _, b = text.lower().partition("x")
-        return int(c), int(b)
+        mc, mb = int(c), int(b)
     except ValueError:
-        raise argparse.ArgumentTypeError(
-            f"--mesh expects CxB (e.g. 2x4), got {text!r}"
-        )
+        return None
+    if not sep or mc < 1 or mb < 1:
+        return None
+    return mc, mb
 
 
 def main(argv=None) -> int:
@@ -143,7 +145,14 @@ def main(argv=None) -> int:
         from .parallel.mesh import build_mesh
         from .parallel.pipeline import run_sharded
 
-        mc, mb = _parse_mesh(args.mesh)
+        parsed = _parse_mesh(args.mesh)
+        if parsed is None:
+            print(
+                f"error: --mesh expects CxB with C,B >= 1 (e.g. 2x4), got "
+                f"{args.mesh!r}", file=sys.stderr,
+            )
+            return 2
+        mc, mb = parsed
         if mc * mb > len(jax.devices()):
             print(
                 f"error: mesh {mc}x{mb} needs {mc*mb} devices, have "

@@ -201,7 +201,9 @@ def rfft_pallas_four_step(
     lead = x.shape[:-1]
     x2 = x.reshape((-1, n)).astype(jnp.float32)
     rows = x2.shape[0]
-    rt = min(row_tile, max(8, rows))     # sublane tiles are 8 rows deep
+    # Sublane tiles are 8 rows deep: keep rt a multiple of 8 (rows are
+    # padded up to r_tiles * rt below either way).
+    rt = min(row_tile, 8 * -(-rows // 8))
     r_tiles = -(-rows // rt)
     if r_tiles * rt != rows:
         x2 = jnp.pad(x2, ((0, r_tiles * rt - rows), (0, 0)))

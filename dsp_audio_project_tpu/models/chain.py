@@ -48,6 +48,7 @@ class AudioPipeline:
         self._jitted_frames_flat = jax.jit(
             self._forward_frames_flat, static_argnums=(1,)
         )
+        self._jitted_frames_dynamic = None  # built lazily, cached
 
     def _forward(self, x: jnp.ndarray, fs: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
         from ..utils.profiling import trace_stage
@@ -102,11 +103,15 @@ class AudioPipeline:
         x = jnp.asarray(x, dtype=jnp.float32)
         fs_out = self.output_rate(fs)
         # Default to the fused frame-major fast path where it applies (TPU
-        # with a compatible plan): same results, no device-side lane
-        # retiles.
+        # with a compatible plan, kernel paths on 'auto' — an explicit
+        # fir_path/iir_path selection is honored via the flat forward):
+        # same results, no device-side lane retiles.
+        kc = self.config.kernels
         if (
             jax.default_backend() == "tpu"
-            and not self.config.kernels.interpret
+            and not kc.interpret
+            and kc.fir_path == "auto"
+            and kc.iir_path == "auto"
             and self.frames_supported(x.shape[-1])
         ):
             z, y = self._jitted_frames_flat(x, fs)
@@ -188,8 +193,13 @@ class AudioPipeline:
         Traced gains: ONE compile serves every gain vector (per-request EQ
         at zero compile cost) on the same retile-free frame-major path.
         Band geometry/config comes from self.config.eq; gains_db overrides
-        the gains, ordered like EQConfig.band_centers.
+        the gains, ordered like EQConfig.band_centers.  The jit wrapper is
+        cached on the pipeline, so calling this per request shares one
+        compile cache.
         """
+        if self._jitted_frames_dynamic is not None:
+            return self._jitted_frames_dynamic
+
         from ..kernels.fir_shear import polyphase_fir_shear_frames
         from ..ops.eq_dynamic import equalize_dynamic_frames
         from ..ops.src import make_plan
@@ -211,4 +221,5 @@ class AudioPipeline:
             )
             return z_frames, y_frames
 
-        return jax.jit(forward, static_argnums=(2,))
+        self._jitted_frames_dynamic = jax.jit(forward, static_argnums=(2,))
+        return self._jitted_frames_dynamic

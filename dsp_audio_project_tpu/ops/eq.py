@@ -91,42 +91,15 @@ def _block_recurrence(
 def _grouped_recurrence(
     x_g: jnp.ndarray, ops: BlockOperators, fast: bool = False
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """The scan-free core on pre-grouped input (..., K, G, U).
+    """Zero-carry outputs + end states on pre-grouped input (..., K, G, U).
 
-    Returns (y0 (..., K, G, U), end_states (..., K, d)).  Keeping the
-    grouped shape end-to-end lets frame-major producers (the shear FIR
-    kernel) feed the EQ with zero layout changes.
-
-    ``fast`` runs the dominant (U, U) FIR einsum — U MACs per sample, vs
-    ~d for everything else — at Precision.HIGH (bf16x3) instead of HIGHEST
-    (bf16x6), halving the EQ's MXU time.  The state path (injection /
-    Toeplitz solve / carries) stays HIGHEST: state error compounds through
-    the recurrence, output error doesn't.  Measured ~100 dB vs the oracle
-    (gate 60) against ~130+ at full precision.
+    Reference form for the Pallas IIR kernels' tests; production paths use
+    _grouped_states + _grouped_apply directly (the carry folds into the
+    group-entry states there).
     """
-    d = ops.A.shape[0]
-    G = x_g.shape[-2]
-    lead = x_g.shape[:-2]
-    gIn = jnp.asarray(ops.group_in, dtype=jnp.float32)        # (U, d)
-    gOut = jnp.asarray(ops.group_out, dtype=jnp.float32)      # (d, U)
-    gFir = jnp.asarray(ops.group_fir.T, dtype=jnp.float32)    # (U, U)
-    toe = jnp.asarray(ops.group_toeplitz, dtype=jnp.float32)  # (G d, G d)
-
-    inj = einsum_f32("...gu,ud->...gd", x_g, gIn)             # (..., K, G, d)
-    s_tail = einsum_f32(
-        "...x,xy->...y", inj.reshape(lead + (G * d,)), toe
-    ).reshape(lead + (G, d))                                  # s_1..s_G
-    end_states = s_tail[..., G - 1, :]
-    s_in = jnp.concatenate(
-        [jnp.zeros(lead + (1, d), jnp.float32), s_tail[..., : G - 1, :]],
-        axis=-2,
-    )                                                         # s_0..s_{G-1}
-    fir_prec = jax.lax.Precision.HIGH if fast else jax.lax.Precision.HIGHEST
-    y0 = jnp.einsum(
-        "...gu,uv->...gv", x_g, gFir, precision=fir_prec,
-        preferred_element_type=jnp.float32,
-    ) + einsum_f32("...gd,du->...gu", s_in, gOut)
-    return y0, end_states
+    s_in, end_states = _grouped_states(x_g, ops)
+    sigma0 = jnp.zeros_like(end_states)
+    return _grouped_apply(x_g, s_in, sigma0, ops, fast=fast), end_states
 
 
 def _grouped_states(

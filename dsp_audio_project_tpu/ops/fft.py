@@ -223,21 +223,30 @@ def _four_step_kernel_n1(n: int) -> int | None:
     return n // 128
 
 
-def rfft_magnitude(x: jnp.ndarray, engine: str = "auto") -> jnp.ndarray:
+def rfft_magnitude(
+    x: jnp.ndarray, engine: str = "auto", fast: bool = True
+) -> jnp.ndarray:
     """|rfft(x)| — the spectrum op's workhorse.
 
-    ``engine``: 'auto' uses the Pallas four-step kernel (|X| fused, 'fast'
-    bf16x3 matmuls — reference-grade ~4e-6 accuracy at half the MXU passes)
-    on TPU for supported sizes, else the XLA butterfly path; 'jnp' forces
-    the butterfly; 'pallas' forces the kernel.
+    ``engine``: 'auto' uses the Pallas four-step kernel (|X| fused) on TPU
+    for supported sizes, else the XLA butterfly path; 'jnp' forces the
+    butterfly; 'pallas' forces the kernel (raising for unsupported sizes).
+    ``fast`` (kernel path only): bf16x3 matmuls — reference-grade ~4e-6
+    accuracy at half the MXU passes; False pins HIGHEST (~1e-7).
     """
     n1 = _four_step_kernel_n1(x.shape[-1])
+    if engine == "pallas" and n1 is None:
+        raise ValueError(
+            f"engine='pallas' requires a power-of-two N in [256, 4096], "
+            f"got {x.shape[-1]}"
+        )
     use_kernel = engine == "pallas" or (
         engine == "auto" and n1 is not None and jax.default_backend() == "tpu"
     )
-    if use_kernel and n1 is not None:
+    if use_kernel:
         from ..kernels.rfft import rfft_pallas_four_step
 
+        prec = "fast" if fast else jax.lax.Precision.HIGHEST
         return rfft_pallas_four_step(x, n1=n1, magnitude=True,
-                                     precision="fast")
+                                     precision=prec)
     return jnp.abs(rfft(x))

@@ -105,12 +105,15 @@ def spectrum_db(mag: jnp.ndarray, floor: float = 1e-12) -> jnp.ndarray:
     return 20.0 * jnp.log10(mag + floor)
 
 
-@functools.partial(jax.jit, static_argnames=("nfft", "hop", "pad_end"))
+@functools.partial(
+    jax.jit, static_argnames=("nfft", "hop", "pad_end", "fast")
+)
 def stft(
     x: jnp.ndarray,
     nfft: int = 2048,
     hop: int = 512,
     pad_end: bool = True,
+    fast: bool = True,
 ) -> jnp.ndarray:
     """Short-time Fourier transform: (..., N) -> (..., frames, nfft//2+1).
 
@@ -151,10 +154,12 @@ def stft(
     n1 = _four_step_kernel_n1(nfft)
     if n1 is not None and jax.default_backend() == "tpu":
         # Batched frames are the four-step kernel's shape: one HBM read,
-        # two MXU stages, one write (see kernels/rfft.py).
+        # two MXU stages, one write (see kernels/rfft.py).  ``fast``
+        # (default) = bf16x3, reference-grade ~4e-6; False pins HIGHEST.
         from ..kernels.rfft import rfft_pallas_four_step
 
-        return rfft_pallas_four_step(win_frames, n1=n1, precision="fast")
+        prec = "fast" if fast else jax.lax.Precision.HIGHEST
+        return rfft_pallas_four_step(win_frames, n1=n1, precision=prec)
     return rfft(win_frames)
 
 
@@ -166,12 +171,15 @@ def spectrogram(
     return (s.real**2 + s.imag**2).astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("nfft", "hop", "pad_end"))
+@functools.partial(
+    jax.jit, static_argnames=("nfft", "hop", "pad_end", "fast")
+)
 def stft_planes(
     x: jnp.ndarray,
     nfft: int = 2048,
     hop: int = 512,
     pad_end: bool = True,
+    fast: bool = True,
 ) -> jnp.ndarray:
     """STFT as stacked real planes: (..., 2, frames, nfft//2+1) f32.
 
@@ -180,7 +188,7 @@ def stft_planes(
     planes [0] = real, [1] = imag fetch as plain float32.  Recombine with
     ``planes[..., 0, :, :] + 1j * planes[..., 1, :, :]``.
     """
-    s = stft(x, nfft=nfft, hop=hop, pad_end=pad_end)
+    s = stft(x, nfft=nfft, hop=hop, pad_end=pad_end, fast=fast)
     return jnp.stack(
         [s.real.astype(jnp.float32), s.imag.astype(jnp.float32)], axis=-3
     )

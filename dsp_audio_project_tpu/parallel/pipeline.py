@@ -68,7 +68,12 @@ def _plan_shards(
     s, Pcls = plan.s, plan.P
 
     # Frames per IIR block (IIR blocks must tile the per-shard output).
+    # fpb is rounded up to a multiple of 16 so iir_block keeps a power-of-2
+    # factor: block_operators halves its unroll until it divides the block,
+    # and an odd block (e.g. P=3 with the default 8192 hint -> 8193) would
+    # collapse unroll to 1 and build a (G*d)^2 Toeplitz in the gigabytes.
     fpb = max(1, -(-iir_block_hint // Pcls))
+    fpb = -(-fpb // 16) * 16
     iir_block = fpb * Pcls
 
     frames_total = -(-n // (s * mesh_block * fpb)) * fpb * mesh_block
@@ -148,7 +153,7 @@ def _local_resample(
 
 def _local_resample_shear(
     x_loc: jnp.ndarray, plan: src_ops.PolyphasePlan, sp: ShardPlan,
-    interpret: bool,
+    interpret: bool, fast: bool = False,
 ) -> jnp.ndarray:
     """Shard-local shear FIR kernel -> frames (..., frames_local, P).
 
@@ -157,6 +162,8 @@ def _local_resample_shear(
     frame 0's window starts at real neighbor data instead of zero padding),
     so the sharded fused path has no HBM lane retile either.
     """
+    import jax as _jax
+
     from ..kernels.fir_shear import polyphase_fir_shear_frames
 
     x_ext = _halo_extend(x_loc, sp)
@@ -164,6 +171,7 @@ def _local_resample_shear(
         x_ext.astype(jnp.float32), plan, sp.n_out_local,
         num_frames=sp.frames_local,
         pad_left=-(plan.lo + sp.halo_left),
+        precision="fast" if fast else _jax.lax.Precision.HIGHEST,
         interpret=interpret,
     )
 
@@ -289,16 +297,17 @@ def build_sharded_pipeline(
         s_in, e = eq_ops._grouped_states(x_g, ops)
         sigma_local = eq_ops._carry_states(e, ops)          # (..., K, d)
         sigma = _shard_sigma(e, sigma_local)
-        z_loc = eq_ops._grouped_apply(x_g, s_in, sigma, ops).reshape(
-            y_loc.shape
-        )
+        z_loc = eq_ops._grouped_apply(
+            x_g, s_in, sigma, ops, fast=config.kernels.eq_fast
+        ).reshape(y_loc.shape)
         return jnp.clip(z_loc, -1.0, 1.0), y_loc
 
     def local_fn_fused(x_loc):
         # Frame-major twin: shear FIR frames feed the EQ at unroll = P —
         # the flat views below are free leading-axis regroups.
         y_fr = _local_resample_shear(
-            x_loc.astype(jnp.float32), plan, sp, config.kernels.interpret
+            x_loc.astype(jnp.float32), plan, sp, config.kernels.interpret,
+            fast=config.kernels.src_fast,
         )                                                   # (C, F_loc, P)
         lead = y_fr.shape[:-2]
         y_loc = y_fr.reshape(lead + (sp.n_out_local,))
@@ -310,7 +319,9 @@ def build_sharded_pipeline(
         s_in, e = eq_ops._grouped_states(x_g, ops)
         sigma_local = eq_ops._carry_states(e, ops)          # (..., K, d)
         sigma = _shard_sigma(e, sigma_local)
-        z = eq_ops._grouped_apply(x_g, s_in, sigma, ops)
+        z = eq_ops._grouped_apply(
+            x_g, s_in, sigma, ops, fast=config.kernels.eq_fast
+        )
         return jnp.clip(z.reshape(y_loc.shape), -1.0, 1.0), y_loc
 
     spec = P(CHANNEL_AXIS, BLOCK_AXIS)
