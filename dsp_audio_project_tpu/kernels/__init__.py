@@ -1,1 +1,35 @@
-"""Subpackage: kernels."""
+"""Subpackage: kernels.
+
+``fir_frames`` is the production entry point for frame-major polyphase
+resampling: it routes to the fastest measured Pallas kernel for the plan's
+geometry (class-major pre-rotated-bank kernel where supported, else the
+in-VMEM shear kernel).  Callers that need a specific variant import it
+directly.
+"""
+from __future__ import annotations
+
+import jax
+
+
+def fir_frames(x, plan, n_out, *, kernel: str = "auto",
+               precision=jax.lax.Precision.HIGHEST, interpret: bool = False,
+               pad_frames: bool = False, num_frames=None, pad_left=None):
+    """Resample (..., N) -> frames (..., F, P) via the best Pallas kernel.
+
+    kernel: 'auto' (fastest measured for this plan) | 'class' | 'shear'.
+    Measured on TPU v5e (60 s 44.1k->48k signal, batch 8): class kernel
+    86 us/signal vs shear 209 us in bf16x3 fast mode — 'auto' prefers it.
+    """
+    from .fir_class import class_supported, polyphase_fir_class_frames
+    from .fir_shear import polyphase_fir_shear_frames
+
+    if kernel == "auto":
+        kernel = "class" if class_supported(plan) else "shear"
+    fn = {
+        "class": polyphase_fir_class_frames,
+        "shear": polyphase_fir_shear_frames,
+    }[kernel]
+    return fn(
+        x, plan, n_out, precision=precision, interpret=interpret,
+        pad_frames=pad_frames, num_frames=num_frames, pad_left=pad_left,
+    )

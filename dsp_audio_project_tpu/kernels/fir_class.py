@@ -1,0 +1,244 @@
+"""Pallas TPU kernel: class-major polyphase FIR with pre-rotated G banks.
+
+The shear kernel (kernels/fir_shear.py) tiles frames in time order, so each
+128-frame subtile mixes all 128 lane offsets o(r) = (w0 + s*r) mod 128 and
+must physically rotate every row with a 7-stage barrel shifter — measured at
+~2/3 of its kernel time (VPU-bound).  This kernel removes the rotation
+entirely by choosing a tiling in which the offset is CONSTANT per grid step:
+
+    o(f) depends only on f mod 128   (because 128*s*k = 0 mod 128),
+
+so frames of one residue class rho = f mod 128 all start at the same lane
+offset o(rho).  Each grid step processes one class:
+
+  * input rows: frame f = 128k + rho starts at flat group row
+    gbase(rho) + s*k — an s-strided row sequence.  A one-time XLA staging
+    transpose re-groups the flat input as xT[b, m, j, :] = groups[m + s*j],
+    making each class's rows a CONTIGUOUS slab xT[b, m_c, d_c:d_c+K, :]
+    that a plain BlockSpec fetches (m_c/d_c come from scalar-prefetch
+    tables, per Pallas' PrefetchScalarGridSpec index-map mechanism);
+  * operator: a host-precomputed bank stack banks[rho][q, p] =
+    G[q - o(rho), p] — the lane rotation lives in the operator, not the
+    data path.  One (B*K, 128) @ (128, P) MXU matmul per fetched column
+    block, accumulated in float32.
+
+Per grid step the kernel does nc block DMAs, nc (or 3*nc in bf16x3 fast
+mode) matmuls, and one output write — no rolls, no staircase concats, no
+per-row select masks.  The cost model is pure HBM bandwidth + MXU.
+
+Semantics are identical to ops/src._resample_frames (same plan.G, same
+window alignment); parity is gated in tests/test_kernels.py.  Replaces the
+workload of /root/reference/modules/dsp_core.py:166 (full-rate 'same'
+convolution) like the shear kernel does.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops.src import PolyphasePlan
+
+NUM_CLASSES = 128  # one residue class per lane offset
+
+
+@functools.lru_cache(maxsize=None)
+def _class_geometry(s: int, W: int, w0: int):
+    """Static per-class tables.
+
+    Returns (nc, m_tab, d_tab, dmax, o) where for class rho and column
+    block c, the rows of the staged transpose xT[b, m, j, :] needed are
+    m = m_tab[c, rho], j = d_tab[c, rho] + k (k = super index), and the
+    operator bank for rho is G shifted to lane offset o[rho].
+    """
+    rho = np.arange(NUM_CLASSES)
+    start = w0 + s * rho          # flat offset of frame rho's window start
+    o = start % 128
+    gb = start // 128
+    nc = int(np.ceil((int(o.max()) + W) / 128.0))
+    m_tab = np.zeros((nc, NUM_CLASSES), np.int32)
+    d_tab = np.zeros((nc, NUM_CLASSES), np.int32)
+    for c in range(nc):
+        m_tab[c] = (gb + c) % s
+        d_tab[c] = (gb + c) // s
+    return nc, m_tab, d_tab, int(d_tab.max()), o
+
+
+@functools.lru_cache(maxsize=None)
+def _class_banks(plan: PolyphasePlan, w0: int) -> np.ndarray:
+    """(128, nc*128, P) float32 pre-rotated operator banks."""
+    nc, _, _, _, o = _class_geometry(plan.s, plan.W, w0)
+    banks = np.zeros((NUM_CLASSES, nc * 128, plan.P), np.float32)
+    for r in range(NUM_CLASSES):
+        banks[r, o[r] : o[r] + plan.W, :] = plan.G
+    return banks
+
+
+@functools.lru_cache(maxsize=None)
+def _class_banks_split(plan: PolyphasePlan, w0: int) -> np.ndarray:
+    """(128, 2, nc*128, P) bf16 exact hi/lo split for fast mode."""
+    import ml_dtypes
+
+    b = _class_banks(plan, w0)
+    bh = b.astype(ml_dtypes.bfloat16)
+    bl = (b - bh.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    return np.stack([bh, bl], axis=1)
+
+
+def class_supported(plan: PolyphasePlan) -> bool:
+    """True when this kernel covers the plan's geometry (wide stride)."""
+    return plan.s >= 8 and plan.W <= 128 * plan.s
+
+
+CLASS_GROUP = 8  # classes per grid step (Mosaic sublane-dim block minimum)
+
+
+def _class_kernel(m_ref, d_ref, *refs, nc, Kp, P, precision):
+    """One grid step: CLASS_GROUP classes x one batch row.
+
+    refs = [x_{c=0,j=0} ... x_{c=nc-1,j=CLASS_GROUP-1}, banks, out].
+    Each x slab is (1, 1, J, 128); out block is (1, Kp, CLASS_GROUP, P).
+    """
+    bank_ref = refs[nc * CLASS_GROUP]
+    out_ref = refs[nc * CLASS_GROUP + 1]
+    t = pl.program_id(0)
+    for j in range(CLASS_GROUP):
+        rho = t * CLASS_GROUP + j
+        acc = None
+        for c in range(nc):
+            sl = refs[c * CLASS_GROUP + j][
+                0, 0, pl.ds(d_ref[c, rho], Kp), :
+            ]                                         # (Kp, 128)
+            if precision == "fast":
+                fh = sl.astype(jnp.bfloat16)
+                fl = (sl - fh.astype(jnp.float32)).astype(jnp.bfloat16)
+                gh = bank_ref[0, j, 0, c * 128 : (c + 1) * 128, :]
+                gl = bank_ref[0, j, 1, c * 128 : (c + 1) * 128, :]
+                term = jnp.dot(fh, gh, preferred_element_type=jnp.float32)
+                term += jnp.dot(fl, gh, preferred_element_type=jnp.float32)
+                term += jnp.dot(fh, gl, preferred_element_type=jnp.float32)
+            else:
+                term = jnp.dot(
+                    sl, bank_ref[0, j, c * 128 : (c + 1) * 128, :],
+                    preferred_element_type=jnp.float32, precision=precision,
+                )
+            acc = term if acc is None else acc + term
+        out_ref[0, :, j, :] = acc
+
+
+def polyphase_fir_class_frames(
+    x: jnp.ndarray,
+    plan: PolyphasePlan,
+    n_out: int,
+    *,
+    precision=jax.lax.Precision.HIGHEST,
+    interpret: bool = False,
+    pad_frames: bool = False,
+    num_frames: int | None = None,
+    pad_left: int | None = None,
+) -> jnp.ndarray:
+    """Resample (..., N) -> frames (..., ceil(n_out/P), P).
+
+    Drop-in twin of kernels/fir_shear.polyphase_fir_shear_frames (same
+    frame-major contract: frames.reshape(..., -1)[..., :n_out] equals
+    ops/src.resample's flat output), same ``pad_frames`` / ``num_frames`` /
+    ``pad_left`` extensions for the sharded caller.  Requires s >= 8.
+
+    With ``pad_frames=True`` the frame count is ceil(F/128)*128 rounded up
+    to a multiple of 1024 — tail frames hold convolution of zero padding.
+    """
+    s, P, W = plan.s, plan.P, plan.W
+    if s < 8:
+        raise ValueError("class kernel targets the wide-stride regime s>=8")
+    if W > 128 * s:
+        raise ValueError(f"frame width {W} exceeds one super-group {128*s}")
+    if x.ndim == 1:
+        return polyphase_fir_class_frames(
+            x[None], plan, n_out, precision=precision, interpret=interpret,
+            pad_frames=pad_frames, num_frames=num_frames, pad_left=pad_left,
+        )[0]
+    lead = x.shape[:-1]
+    B = int(np.prod(lead))
+    x = x.reshape(B, x.shape[-1])
+
+    # Same contract as the shear kernel: frame 0's window starts at padded
+    # index 0; ``pad_left`` is the zero extension making that true (default
+    # -lo), or 0 for halo-extended shard inputs.
+    if pad_left is None:
+        pad_left = max(0, -plan.lo)
+    if pad_left < 0:  # window start lies inside x: drop the lead instead
+        x = x[..., -pad_left:]
+        pad_left = 0
+    w0 = 0
+    n = x.shape[-1]
+
+    if num_frames is None:
+        num_frames = -(-n_out // P)
+    Kp = 8 * -(-(-(-num_frames // NUM_CLASSES)) // 8)  # supers, multiple of 8
+
+    nc, m_tab, d_tab, dmax, _ = _class_geometry(s, W, w0)
+    J = Kp + dmax + 1  # staged supers (last window may poke into super Kp+dmax)
+
+    total = 128 * s * J
+    pad_right = total - pad_left - n
+    if pad_right < 0:
+        # Input longer than the frames need (halo-extended shards): crop.
+        x = x[..., : n + pad_right]
+        pad_right = 0
+    xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (pad_left, pad_right)))
+    # (B, J, s, 128) -> transpose -> (B, s, J, 128): one relayout pass that
+    # makes every class's rows a contiguous BlockSpec slab.
+    xT = xp.reshape(B, J, s, 128).transpose(0, 2, 1, 3)
+
+    CG = CLASS_GROUP
+    n_groups = NUM_CLASSES // CG
+    if precision == "fast":
+        banks = jnp.asarray(_class_banks_split(plan, w0))
+        banks = banks.reshape(n_groups, CG, 2, nc * 128, P)
+        bank_spec = pl.BlockSpec(
+            (1, CG, 2, nc * 128, P), lambda t, b, m, d: (t, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        banks = jnp.asarray(_class_banks(plan, w0))
+        banks = banks.reshape(n_groups, CG, nc * 128, P)
+        bank_spec = pl.BlockSpec(
+            (1, CG, nc * 128, P), lambda t, b, m, d: (t, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def x_spec(c, j):
+        return pl.BlockSpec(
+            (1, 1, J, 128),
+            lambda t, b, m, d, c=c, j=j: (b, m[c, t * CG + j], 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    kern = functools.partial(
+        _class_kernel, nc=nc, Kp=Kp, P=P, precision=precision,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_groups, B),
+        in_specs=[x_spec(c, j) for c in range(nc) for j in range(CG)]
+        + [bank_spec],
+        out_specs=pl.BlockSpec(
+            (1, Kp, CG, P), lambda t, b, m, d: (b, 0, t, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    out4 = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B, Kp, NUM_CLASSES, P), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(jnp.asarray(m_tab), jnp.asarray(d_tab), *([xT] * (nc * CG)), banks)
+
+    frames = out4.reshape(B, Kp * NUM_CLASSES, P)
+    if pad_frames:
+        return frames.reshape(lead + (Kp * NUM_CLASSES, P))
+    return frames[:, :num_frames].reshape(lead + (num_frames, P))

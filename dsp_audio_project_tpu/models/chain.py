@@ -155,7 +155,7 @@ class AudioPipeline:
 
         z/y flat = frames.reshape(..., -1)[..., :output_length(n)].
         """
-        from ..kernels.fir_shear import polyphase_fir_shear_frames
+        from ..kernels import fir_frames
         from ..ops.eq import equalize_frames
         from ..ops.src import make_plan
         from ..utils.profiling import trace_stage
@@ -164,8 +164,8 @@ class AudioPipeline:
         plan = make_plan(cfg.src.L, cfg.src.M, cfg.src.taps_rule_factor)
         n_out = cfg.src.output_length(x.shape[-1])
         fs_out = cfg.src.output_rate(fs)
-        with trace_stage("src_shear"):
-            y_frames = polyphase_fir_shear_frames(
+        with trace_stage("src_frames"):
+            y_frames = fir_frames(
                 x.astype(jnp.float32), plan, n_out, pad_frames=True,
                 interpret=cfg.kernels.interpret,
                 **({"precision": "fast"} if cfg.kernels.src_fast else {}),
@@ -200,7 +200,7 @@ class AudioPipeline:
         if self._jitted_frames_dynamic is not None:
             return self._jitted_frames_dynamic
 
-        from ..kernels.fir_shear import polyphase_fir_shear_frames
+        from ..kernels import fir_frames
         from ..ops.eq_dynamic import equalize_dynamic_frames
         from ..ops.src import make_plan
 
@@ -210,7 +210,7 @@ class AudioPipeline:
             plan = make_plan(cfg.src.L, cfg.src.M, cfg.src.taps_rule_factor)
             n_out = cfg.src.output_length(x.shape[-1])
             fs_out = cfg.src.output_rate(fs)
-            y_frames = polyphase_fir_shear_frames(
+            y_frames = fir_frames(
                 x.astype(jnp.float32), plan, n_out, pad_frames=True,
                 interpret=cfg.kernels.interpret,
                 **({"precision": "fast"} if cfg.kernels.src_fast else {}),

@@ -39,6 +39,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import EQConfig
 from ..utils.precision import einsum_f32, matmul_f32, matvec_f32, vecmat_f32
@@ -137,31 +138,65 @@ def _grouped_apply(
     """Output pass with the block carry folded into the group states.
 
     The true state entering group g of block k is s_in[k,g] + A^{gU}
-    sigma[k], so the carry correction rides the SAME (d, U) group_out
-    matmul as the zero-init term — one full-width output intermediate
-    instead of the two (y0 + separate (block, d) correction matmul) of the
-    naive formulation, saving a (K*block)-sized HBM round trip.
+    sigma[k], so the output is
+
+        y = x @ group_fir^T  +  s_true @ group_out
+
+    as two matmuls whose add fuses into the second's epilogue.  (An earlier
+    formulation concatenated [x | s_true] into one (U+d, U) matmul to share
+    an output buffer; the 170-lane concat compiled to a full lane-misaligned
+    copy of the signal — 70 us/signal, ~2x the matmuls it fed — so the
+    split form is strictly faster on TPU.)
     """
     gPows = jnp.asarray(ops.group_pows, dtype=jnp.float32)    # (G, d, d)
     s_true = s_in + einsum_f32("gef,...kf->...kge", gPows, sigma)
-    # ONE (U+d, U) matmul: [x | s_true] @ [[group_fir], [group_out]] — the
-    # FIR and state readouts share an output buffer instead of two
-    # full-width matmul outputs plus an add fusion (one fewer K*block HBM
-    # round trip; both terms are output-only, so ``fast`` precision is
-    # safe for the pair).
-    w_cat = jnp.concatenate(
-        [
-            jnp.asarray(ops.group_fir.T, dtype=jnp.float32),   # (U, U)
-            jnp.asarray(ops.group_out, dtype=jnp.float32),     # (d, U)
-        ],
-        axis=0,
-    )
-    xs = jnp.concatenate([x_g, s_true], axis=-1)               # (..., U+d)
     prec = jax.lax.Precision.HIGH if fast else jax.lax.Precision.HIGHEST
-    return jnp.einsum(
-        "...gu,uv->...gv", xs, w_cat, precision=prec,
+    y = jnp.einsum(
+        "...gu,uv->...gv", x_g,
+        jnp.asarray(ops.group_fir.T, dtype=jnp.float32), precision=prec,
         preferred_element_type=jnp.float32,
     )
+    return y + einsum_f32(
+        "...gd,du->...gu", s_true,
+        jnp.asarray(ops.group_out, dtype=jnp.float32),
+    )
+
+
+# Below this K the carry solve is ONE dense (K d, K d) matmul against a
+# host-precomputed weight triangle; above it, the log-depth scan.  The scan
+# compiles to dozens of tiny (d, d) ops whose fixed per-op overhead measured
+# ~100 us/signal inside the fused chain — the matmul is ~5 us and the weight
+# table stays small (K=512, d=12 -> 151 MB is the ceiling; typical chains
+# sit at K<=352 / d<=10 -> <50 MB).
+_CARRY_ALLPAIRS_MAX = 512
+_carry_weight_cache: dict = {}
+
+
+def _carry_weights(ops: BlockOperators, K: int) -> jnp.ndarray:
+    """(K d, K d) float32 map from [sigma0, e_0..e_{K-2}] to [sigma_0..sigma_{K-1}].
+
+    WT[(j, jj), (k, dd)] = (A^block)^{k-j}[dd, jj] for j <= k, else 0 — the
+    expanded block recurrence sigma_k = A^{bk} sigma0 + sum A^{b(k-1-i)} e_i.
+    Cached per (ops, K); BlockOperators instances are lru-cache singletons
+    (make_block_operators), so id() is a stable key.
+    """
+    key = (id(ops), K)
+    w = _carry_weight_cache.get(key)
+    if w is None:
+        d = ops.A.shape[0]
+        Ab = ops.state_corr.astype(np.float64)
+        pows = np.zeros((K, d, d))
+        acc = np.eye(d)
+        for p in range(K):
+            pows[p] = acc
+            acc = acc @ Ab
+        WT = np.zeros((K, d, K, d))
+        for k in range(K):
+            for j in range(k + 1):
+                WT[j, :, k, :] = pows[k - j].T
+        w = np.asarray(WT.reshape(K * d, K * d), dtype=np.float32)
+        _carry_weight_cache[key] = w
+    return w
 
 
 def _carry_states(
@@ -169,14 +204,15 @@ def _carry_states(
     ops: BlockOperators,
     sigma0: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """True initial state per block via log-depth scan over the K axis.
+    """True initial state per block: sigma_{k+1} = A^block sigma_k + e_k.
 
-    sigma_0 = sigma0 (zero by default);  sigma_{k+1} = A^block sigma_k + e_k.
-    Elements are (M_k, v_k) pairs under (M2,v2)o(M1,v1) = (M2 M1, M2 v1 + v2).
-    Prepending the element (I, sigma0) and scanning inclusively over
-    [(I, sigma0), (A^block, e_0), ..., (A^block, e_{K-2})] yields sigma_k at
-    position k directly — which is also how a shard's incoming carry state
-    enters the sharded pipeline.
+    sigma_0 = sigma0 (zero by default).  For K <= _CARRY_ALLPAIRS_MAX the
+    whole triangular solve is one MXU matmul (see _carry_weights); larger K
+    falls back to a log-depth associative scan over (M, v) pairs under
+    (M2,v2)o(M1,v1) = (M2 M1, M2 v1 + v2), scanning inclusively over
+    [(I, sigma0), (A^block, e_0), ..., (A^block, e_{K-2})] so position k
+    yields sigma_k directly — which is also how a shard's incoming carry
+    state enters the sharded pipeline.
     """
     d = end_states.shape[-1]
     k_axis = end_states.ndim - 2
@@ -184,6 +220,19 @@ def _carry_states(
     A_blk = jnp.asarray(ops.state_corr, dtype=jnp.float32)
     if sigma0 is None:
         sigma0 = jnp.zeros(end_states.shape[:-2] + (d,), dtype=jnp.float32)
+
+    if K <= _CARRY_ALLPAIRS_MAX:
+        lead = end_states.shape[:-2]
+        vecs = jnp.concatenate(
+            [
+                sigma0[..., None, :],
+                jax.lax.slice_in_dim(end_states, 0, K - 1, axis=k_axis),
+            ],
+            axis=k_axis,
+        )
+        w = jnp.asarray(_carry_weights(ops, K))
+        sig = einsum_f32("...x,xy->...y", vecs.reshape(lead + (K * d,)), w)
+        return sig.reshape(lead + (K, d))
 
     head_mat = jnp.broadcast_to(
         jnp.eye(d, dtype=jnp.float32), end_states.shape[:-2] + (1, d, d)

@@ -63,9 +63,15 @@ class ShardPlan:
 def _plan_shards(
     n: int, c: int, mesh_channel: int, mesh_block: int,
     src_cfg: SRCConfig, iir_block_hint: int,
-) -> Tuple[ShardPlan, src_ops.PolyphasePlan]:
-    plan = src_ops.make_plan(src_cfg.L, src_cfg.M, src_cfg.taps_rule_factor)
-    s, Pcls = plan.s, plan.P
+) -> Tuple[ShardPlan, src_ops.PolyphasePlan | None]:
+    if src_cfg.bypass:
+        # Identity SRC: no filter, no halo — shards carry raw samples and
+        # the local path skips the polyphase pass entirely (plan=None).
+        plan = None
+        s, Pcls = 1, 1
+    else:
+        plan = src_ops.make_plan(src_cfg.L, src_cfg.M, src_cfg.taps_rule_factor)
+        s, Pcls = plan.s, plan.P
 
     # Frames per IIR block (IIR blocks must tile the per-shard output).
     # fpb is rounded up to a multiple of 16 so iir_block keeps a power-of-2
@@ -81,8 +87,8 @@ def _plan_shards(
     n_in_local = frames_local * s
     n_out_local = frames_local * Pcls
 
-    halo_left = plan.halo_left
-    halo_right = plan.halo_right
+    halo_left = plan.halo_left if plan is not None else 0
+    halo_right = plan.halo_right if plan is not None else 0
     if max(halo_left, halo_right) > n_in_local and mesh_block > 1:
         raise ValueError(
             f"shard too small for filter halo: local={n_in_local}, "
@@ -164,10 +170,10 @@ def _local_resample_shear(
     """
     import jax as _jax
 
-    from ..kernels.fir_shear import polyphase_fir_shear_frames
+    from ..kernels import fir_frames
 
     x_ext = _halo_extend(x_loc, sp)
-    return polyphase_fir_shear_frames(
+    return fir_frames(
         x_ext.astype(jnp.float32), plan, sp.n_out_local,
         num_frames=sp.frames_local,
         pad_left=-(plan.lo + sp.halo_left),
@@ -230,21 +236,16 @@ def build_sharded_pipeline(
     mesh_block = mesh.shape[BLOCK_AXIS]
     src_cfg, eq_cfg = config.src, config.eq
 
-    if src_cfg.bypass:
-        # Identity SRC still shards the EQ; reuse the same machinery with a
-        # trivial plan: frames of 1 sample, 1 class.
-        pass
-
     sp, plan = _plan_shards(
         n, channels, mesh_channel, mesh_block, src_cfg, config.kernels.iir_block
     )
     if fused is None:
         fused = (
-            not src_cfg.bypass
+            plan is not None
             and plan.s >= 8
             and (config.kernels.interpret or jax.default_backend() == "tpu")
         )
-    if fused and (src_cfg.bypass or plan.s < 8):
+    if fused and (plan is None or plan.s < 8):
         raise ValueError("fused sharded path requires SRC with stride s >= 8")
     fs_out = src_cfg.output_rate(fs)
     bands = eq_cfg.active_bands(fs_out)
@@ -283,7 +284,10 @@ def build_sharded_pipeline(
 
     def local_fn(x_loc):
         # x_loc: (C_local, n_in_local)
-        y_loc = _local_resample(x_loc.astype(jnp.float32), plan, sp)
+        if plan is None:  # SRC bypass: identity, no halo, zero FIR work
+            y_loc = x_loc.astype(jnp.float32)
+        else:
+            y_loc = _local_resample(x_loc.astype(jnp.float32), plan, sp)
         if not eq_active:
             z_loc = jnp.clip(y_loc, -1.0, 1.0) if not eq_cfg.bypass else y_loc
             return z_loc, y_loc

@@ -249,3 +249,101 @@ def test_fir_shear_rejects_narrow_stride():
     plan = make_plan(8, 7)  # s = 7
     with pytest.raises(ValueError, match="s>=8"):
         polyphase_fir_shear_frames(jnp.zeros(1000), plan, 1143, interpret=True)
+
+
+def test_fir_class_kernel_matches_xla_path():
+    """Class-major kernel (interpret) vs the XLA frame path: both rate
+    directions, batch, pad_frames, and the frame-major/flat equivalence."""
+    from dsp_audio_project_tpu.kernels.fir_class import (
+        polyphase_fir_class_frames,
+    )
+    from dsp_audio_project_tpu.ops.src import _resample_frames
+
+    rng = np.random.default_rng(5)
+    for L, M, n in [(160, 147, 44100), (147, 160, 30011)]:
+        plan = make_plan(L, M)
+        n_out = int(np.ceil(n * L / M))
+        x = (0.3 * rng.standard_normal(n)).astype(np.float32)
+        want = np.asarray(_resample_frames(jnp.asarray(x), plan, n, n_out))
+        got = np.asarray(
+            polyphase_fir_class_frames(jnp.asarray(x), plan, n_out,
+                                       interpret=True)
+        )
+        assert got.shape == (-(-n_out // plan.P), plan.P)
+        assert np.max(np.abs(got.reshape(-1)[:n_out] - want)) < 1e-5
+
+    plan = make_plan(160, 147)
+    n = 20000
+    n_out = int(np.ceil(n * 160 / 147))
+    xs = (0.3 * rng.standard_normal((2, n))).astype(np.float32)
+    want = np.asarray(_resample_frames(jnp.asarray(xs), plan, n, n_out))
+    got = np.asarray(
+        polyphase_fir_class_frames(jnp.asarray(xs), plan, n_out,
+                                   interpret=True, pad_frames=True)
+    )
+    assert got.shape[-2] % 128 == 0
+    assert np.max(np.abs(got.reshape(2, -1)[:, :n_out] - want)) < 1e-5
+
+
+def test_fir_class_fast_mode():
+    """bf16x3 banks hold ~1e-5 relative vs the XLA path."""
+    from dsp_audio_project_tpu.config import SRCConfig
+    from dsp_audio_project_tpu.kernels.fir_class import (
+        polyphase_fir_class_frames,
+    )
+    from dsp_audio_project_tpu.ops.src import resample
+
+    cfg = SRCConfig(L=160, M=147)
+    plan = make_plan(160, 147)
+    x = (0.4 * np.random.default_rng(0).standard_normal(44100)).astype(
+        np.float32
+    )
+    n_out = cfg.output_length(len(x))
+    want, _ = resample(jnp.asarray(x), 44100, cfg)
+    fr = polyphase_fir_class_frames(
+        jnp.asarray(x), plan, n_out, precision="fast", interpret=True
+    )
+    got = np.asarray(fr).reshape(-1)[:n_out]
+    w = np.asarray(want)
+    assert np.max(np.abs(got - w)) / np.max(np.abs(w)) < 5e-5
+
+
+def test_fir_class_shard_style_call():
+    """num_frames/pad_left contract (halo-extended shard input) matches the
+    shear kernel's on the same input."""
+    from dsp_audio_project_tpu.kernels.fir_class import (
+        polyphase_fir_class_frames,
+    )
+    from dsp_audio_project_tpu.kernels.fir_shear import (
+        polyphase_fir_shear_frames,
+    )
+
+    plan = make_plan(160, 147)
+    rng = np.random.default_rng(9)
+    hl, hr = plan.halo_left, plan.halo_right
+    n_loc = 147 * 256
+    x_ext = (0.3 * rng.standard_normal(hl + n_loc + hr)).astype(np.float32)
+    kw = dict(num_frames=256, pad_left=-(plan.lo + hl), interpret=True)
+    a = np.asarray(polyphase_fir_class_frames(
+        jnp.asarray(x_ext), plan, 256 * plan.P, **kw))
+    b = np.asarray(polyphase_fir_shear_frames(
+        jnp.asarray(x_ext), plan, 256 * plan.P, **kw))
+    assert a.shape == b.shape == (256, plan.P)
+    assert np.max(np.abs(a - b)) < 1e-5
+
+
+def test_fir_frames_dispatcher_routes():
+    from dsp_audio_project_tpu.kernels import fir_frames
+    from dsp_audio_project_tpu.ops.src import _resample_frames
+
+    plan = make_plan(160, 147)
+    n = 12000
+    n_out = int(np.ceil(n * 160 / 147))
+    x = (0.3 * np.random.default_rng(2).standard_normal(n)).astype(np.float32)
+    want = np.asarray(_resample_frames(jnp.asarray(x), plan, n, n_out))
+    for kernel in ("auto", "class", "shear"):
+        got = np.asarray(
+            fir_frames(jnp.asarray(x), plan, n_out, kernel=kernel,
+                       interpret=True)
+        )
+        assert np.max(np.abs(got.reshape(-1)[:n_out] - want)) < 1e-5
