@@ -139,6 +139,45 @@ def main() -> None:
     q = snr_db(want, to_flat(z))
     log(f"output snr vs reference oracle: {q:.1f} dB (gate 60)")
 
+    # Dynamic-gains serving path: gains as traced arrays, operators prebuilt
+    # per gain change (the serving split) — the reference's slider model.
+    try:
+        names = [nm for nm, _ in cfg.eq.band_centers]
+        gains_arr = jnp.asarray(
+            [float(GAINS.get(nm, 0.0)) for nm in names], jnp.float32
+        )
+        fwd_dyn = pipe.jit_forward_frames_dynamic_ops()
+        dyn_ops = pipe.dynamic_eq_operators(gains_arr, FS, n)
+        jax.block_until_ready(dyn_ops)
+
+        def build_fn_dyn(b):
+            def run(v):
+                z, _ = fwd_dyn(v, dyn_ops, FS)
+                return jnp.sum(z)
+            return jax.jit(run)
+
+        from dsp_audio_project_tpu.utils.deviceprof import profile_device_ops
+
+        B_prof = 8
+        f_dyn = build_fn_dyn(B_prof)
+        float(f_dyn(*make_batch(B_prof)))  # warm
+        total_ms, _ = profile_device_ops(f_dyn, *make_batch(B_prof))
+        if total_ms > 0:
+            dt_dyn = total_ms / 1e3 / B_prof
+            log(f"dynamic-gains chain (prebuilt ops): {dt_dyn*1e3:.3f} ms per "
+                f"signal -> {n/dt_dyn/1e6:.1f} M samples/s/chip")
+        # Builder cost (runs once per gain change, amortized across batches).
+        def f_build(g):
+            return jax.tree.map(jnp.sum, pipe.dynamic_eq_operators(g, FS, n))
+        jax.block_until_ready(f_build(gains_arr))
+        build_ms, _ = profile_device_ops(f_build, gains_arr + 1.0)
+        log(f"dynamic operator build (per gain change): {build_ms:.3f} ms")
+        zd, _ = fwd_dyn(jnp.asarray(x), dyn_ops, FS)
+        qd = snr_db(want, np.asarray(zd).reshape(-1)[:n_out])
+        log(f"dynamic-gains output snr vs oracle: {qd:.1f} dB (gate 60)")
+    except Exception as e:  # pragma: no cover
+        log(f"dynamic path bench unavailable ({e})")
+
     # Reference-algorithm baseline on host CPU.  The reference's direct
     # full-rate convolution is O(N*L*T) and linear in N, so time a short
     # window and report per-sample throughput (running it on the full 10 s

@@ -251,6 +251,164 @@ def rfft_pallas_four_step(
     return z.reshape(lead + (n // 2 + 1,))
 
 
+def _four_step_tall_kernel(x_ref, d1_ref, tw_ref, d2_ref, o_ref, *, rt,
+                           magnitude, precision):
+    """Four-step rfft with n1 on the LANE axis — both DFT stages on the MXU.
+
+    The (n1, rt, n2) layout's step-1 column DFT contracts over j1 with an
+    O(n1^2) VPU broadcast-FMA stage, which binds past n1 = 32 (N = 4096).
+    Holding each row as X2[j2, j1] instead makes step 1 ONE lane-contraction
+    matmul  A = X2 @ D1  and step 3 a per-subrow matmul  C_r = D2 @ B_r —
+    no transposes, no lane rolls, and the twiddle is a cheap elementwise
+    complex multiply in between.  Output C[k2, k1] flattens directly to
+    X[k1 + n1 k2] (the natural four-step order) with no host transpose.
+
+    x_ref: (1, rt, n2, n1) real, j = j1 * n2 + j2.
+    """
+    n2 = x_ref.shape[-2]
+    n1 = x_ref.shape[-1]
+    x2 = x_ref[0].reshape(rt * n2, n1)
+    d1r = d1_ref[0]
+    d1i = d1_ref[1]
+    hi = jax.lax.Precision.HIGHEST if precision == "fast" else precision
+
+    # Step 1: column DFT over j1 (real input -> two real matmuls).
+    ar = jnp.dot(x2, d1r, preferred_element_type=jnp.float32, precision=hi)
+    ai = jnp.dot(x2, d1i, preferred_element_type=jnp.float32, precision=hi)
+    # Step 2: twiddle W_n^{k1 j2}, elementwise over (rt, n2, n1).
+    a3r = ar.reshape(rt, n2, n1)
+    a3i = ai.reshape(rt, n2, n1)
+    twr = tw_ref[0][None]
+    twi = tw_ref[1][None]
+    br = a3r * twr - a3i * twi
+    bi = a3r * twi + a3i * twr
+    # Step 3: row DFT over j2, one (n2, n2) x (n2, n1) matmul per subrow.
+    d2r = (d2_ref[0, 0], d2_ref[1, 0])
+    d2i = (d2_ref[0, 1], d2_ref[1, 1])
+    for r in range(rt):
+        # complex (D2 @ B): C = (D2r + i D2i)(Br + i Bi)
+        c_rr = _dot_nt(d2r, br[r], precision)
+        c_ii = _dot_nt(d2i, bi[r], precision)
+        c_ri = _dot_nt(d2r, bi[r], precision)
+        c_ir = _dot_nt(d2i, br[r], precision)
+        cr = c_rr - c_ii
+        ci = c_ri + c_ir
+        if magnitude:
+            o_ref[0, r] = jnp.sqrt(cr * cr + ci * ci)[None]
+        else:
+            o_ref[0, r] = jnp.stack([cr, ci])
+
+
+def _dot_nt(w_pair, b, precision):
+    """(n2, n2) x (n2, n1) matmul with the bf16x3 split on the WEIGHT side.
+
+    Fast mode splits the DFT matrix (host-precomputed hi/lo halves) and the
+    data once: w @ b = (wh + wl) @ (bh + bl) ~ wh bh + wl bh + wh bl.
+    """
+    wh, wl = w_pair
+    if precision != "fast":
+        return jnp.dot(wh + wl, b, preferred_element_type=jnp.float32,
+                       precision=precision)
+    bh = b.astype(jnp.bfloat16)
+    bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+    acc = jnp.dot(wh, bh, preferred_element_type=jnp.float32)
+    acc += jnp.dot(wl, bh, preferred_element_type=jnp.float32)
+    acc += jnp.dot(wh, bl, preferred_element_type=jnp.float32)
+    return acc
+
+
+@functools.lru_cache(maxsize=None)
+def _four_step_tall_tables(n: int, n2: int):
+    """Host tables for the tall kernel: D1 (j1, k1), TW (j2, k1), D2 (k2, j2).
+
+    D2 ships as bf16 hi/lo pairs for the fast path (stacked (2, 2, n2, n2):
+    [hi/lo][real/imag]); D1/TW stay f32 (step 1 reads real data, and the
+    twiddle is elementwise — neither is an MXU cost center).
+    """
+    import ml_dtypes
+
+    n1 = n // n2
+    d1 = np.exp(-2j * np.pi * np.outer(np.arange(n1), np.arange(n1)) / n1)
+    d1 = np.stack([d1.real, d1.imag]).astype(np.float32)      # (2, j1, k1)
+    tw = np.exp(-2j * np.pi * np.outer(np.arange(n2), np.arange(n1)) / n)
+    tw = np.stack([tw.real, tw.imag]).astype(np.float32)      # (2, j2, k1)
+    d2 = np.exp(-2j * np.pi * np.outer(np.arange(n2), np.arange(n2)) / n2)
+    d2f = np.stack([d2.real, d2.imag]).astype(np.float32)     # (2, k2, j2)
+    d2h = d2f.astype(ml_dtypes.bfloat16).astype(np.float32)
+    d2l = (d2f - d2h).astype(np.float32)
+    return d1, tw, np.stack([d2h, d2l])                       # (2, 2, n2, n2)
+
+
+def rfft_pallas_four_step_tall(
+    x: jnp.ndarray,
+    *,
+    n2: int = 128,
+    row_tile: int = 32,
+    magnitude: bool = False,
+    precision=jax.lax.Precision.HIGHEST,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Batched rfft for LARGE N (>= 8192): both DFT stages on the MXU.
+
+    Same contract as rfft_pallas_four_step; covers the sizes where that
+    kernel's O(n1^2) VPU stage stops paying (N > 4096 spectrogram windows).
+    n1 = N/n2 rides the lane axis, so N must be a power of two with
+    n1 % 128 == 0 (N >= 16384 at the default n2 = 128; pass n2 = 64 for
+    N = 8192 at reduced MXU efficiency).
+    """
+    n = x.shape[-1]
+    if n < 4 or (n & (n - 1)) != 0:
+        raise ValueError(f"needs power-of-two N >= 4, got {n}")
+    n1 = n // n2
+    if n1 * n2 != n or n1 % 128:
+        raise ValueError(f"n2={n2} needs n1=N/n2 a lane multiple, got {n1}")
+    lead = x.shape[:-1]
+    x2 = x.reshape((-1, n)).astype(jnp.float32)
+    rows = x2.shape[0]
+    rt = min(row_tile, 8 * -(-rows // 8))
+    r_tiles = -(-rows // rt)
+    if r_tiles * rt != rows:
+        x2 = jnp.pad(x2, ((0, r_tiles * rt - rows), (0, 0)))
+    # Row-major (j1, j2) -> lane-major (j2, j1): one XLA staging transpose.
+    x4 = jnp.swapaxes(x2.reshape(r_tiles, rt, n1, n2), -1, -2)
+
+    d1, tw, d2 = _four_step_tall_tables(n, n2)
+    kern = functools.partial(
+        _four_step_tall_kernel, rt=rt, magnitude=magnitude,
+        precision=precision,
+    )
+    planes = 1 if magnitude else 2
+    out = pl.pallas_call(
+        kern,
+        grid=(r_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, rt, n2, n1), lambda r: (r, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(d1.shape, lambda r: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(tw.shape, lambda r: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(d2.shape, lambda r: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, rt, planes, n2, n1), lambda r: (r, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (r_tiles, rt, planes, n2, n1), jnp.float32
+        ),
+        interpret=interpret,
+    )(x4, jnp.asarray(d1), jnp.asarray(tw), jnp.asarray(d2))
+
+    # C[k2, k1] flattens straight to X[k1 + n1 k2]: crop to N//2+1.
+    out = out.reshape(r_tiles * rt, planes, n)[:rows, :, : n // 2 + 1]
+    if magnitude:
+        return out[:, 0, :].reshape(lead + (n // 2 + 1,))
+    z = out[:, 0, :] + 1j * out[:, 1, :]
+    return z.reshape(lead + (n // 2 + 1,))
+
+
 def rfft_pallas(
     x: jnp.ndarray,
     *,

@@ -223,3 +223,70 @@ class AudioPipeline:
 
         self._jitted_frames_dynamic = jax.jit(forward, static_argnums=(2,))
         return self._jitted_frames_dynamic
+
+    # ---- serving split: build operators on gain change, apply per batch --
+    #
+    # The in-graph operator construction inside jit_forward_frames_dynamic
+    # costs ~0.2 ms/batch regardless of whether gains changed.  The split
+    # amortizes it: dynamic_eq_operators runs the (jitted, traced-gains)
+    # builder when a request carries new gains; jit_forward_frames_dynamic_ops
+    # is the per-batch path, structurally identical to the static fused path.
+
+    def dynamic_eq_operators(self, gains_db, fs: int, n: int,
+                             groups_per_block: int = 128):
+        """Build traced-gains EQ operators for ``n``-sample inputs.
+
+        One compile serves every gain vector; the result is a DynOperators
+        pytree to pass to jit_forward_frames_dynamic_ops()(x, ops, fs).
+        """
+        from ..kernels import fir_frames
+        from ..ops.eq_dynamic import build_dynamic_operators
+        from ..ops.src import make_plan
+
+        cfg = self.config
+        plan = make_plan(cfg.src.L, cfg.src.M, cfg.src.taps_rule_factor)
+        n_out = cfg.src.output_length(n)
+        fs_out = cfg.src.output_rate(fs)
+        # Frame count including the kernel's pad_frames rounding, without
+        # running the kernel:
+        shape = jax.eval_shape(
+            lambda x: fir_frames(x, plan, n_out, pad_frames=True),
+            jax.ShapeDtypeStruct((n,), jnp.float32),
+        ).shape
+        K = -(-shape[-2] // groups_per_block)
+        return build_dynamic_operators(
+            jnp.asarray(gains_db, jnp.float32), fs_out, cfg.eq,
+            unroll=plan.P, groups_per_block=groups_per_block, num_blocks=K,
+        )
+
+    def jit_forward_frames_dynamic_ops(self):
+        """Jitted fused (x, ops, fs) -> (z_frames, y_frames), prebuilt EQ ops.
+
+        The per-batch serving path: SRC through the production FIR kernel,
+        EQ through the prebuilt traced-gains operators — no in-graph
+        operator construction, so per-batch cost matches the static path.
+        """
+        if getattr(self, "_jitted_frames_dynamic_ops", None) is not None:
+            return self._jitted_frames_dynamic_ops
+
+        from ..kernels import fir_frames
+        from ..ops.eq_dynamic import equalize_dynamic_frames_ops
+        from ..ops.src import make_plan
+
+        cfg = self.config
+
+        def forward(x, ops, fs):
+            plan = make_plan(cfg.src.L, cfg.src.M, cfg.src.taps_rule_factor)
+            n_out = cfg.src.output_length(x.shape[-1])
+            y_frames = fir_frames(
+                x.astype(jnp.float32), plan, n_out, pad_frames=True,
+                interpret=cfg.kernels.interpret,
+                **({"precision": "fast"} if cfg.kernels.src_fast else {}),
+            )
+            z_frames = equalize_dynamic_frames_ops(
+                y_frames, ops, fast=cfg.kernels.eq_fast,
+            )
+            return z_frames, y_frames
+
+        self._jitted_frames_dynamic_ops = jax.jit(forward, static_argnums=(2,))
+        return self._jitted_frames_dynamic_ops

@@ -212,15 +212,46 @@ def rfft(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _four_step_kernel_n1(n: int) -> int | None:
-    """n1 split for the Pallas four-step kernel, or None if out of range.
+    """n1 split for the classic Pallas four-step kernel, or None.
 
-    Keeps n2 = 128 on the lane axis; n1 grows with n, and past n1 = 32 the
-    kernel's O(n1^2) VPU stage stops paying for itself — larger sizes fall
-    back to the XLA butterfly path.
+    Keeps n2 a lane multiple; n1 caps at 32, where the kernel's O(n1^2)
+    VPU stage stops paying for itself — N = 8192 therefore runs n1 = 32
+    with n2 = 256 (measured 1.3x over the XLA butterfly on v5e), and
+    larger sizes route to the tall kernel (see _rfft_kernel_plan).
     """
-    if n < 256 or n > 4096 or (n & (n - 1)) != 0:
+    if n < 256 or n > 8192 or (n & (n - 1)) != 0:
         return None
-    return n // 128
+    return min(32, n // 128)
+
+
+def _rfft_kernel_plan(n: int):
+    """Route a batched-rfft size to the fastest measured Pallas kernel.
+
+    Returns ('four_step', n1) | ('tall', row_tile) | None.  Measured on
+    v5e (bf16x3 fast mode, |X| fused) vs the XLA butterfly path:
+    N=2048 2.1x, N=8192 1.3x (four-step); N=16384 2.3x, N=32768 1.9x
+    (tall — both DFT stages on the MXU, rfft.py:_four_step_tall_kernel).
+    Above 32768 the tall kernel's (rt, n2, n1) block exceeds VMEM at
+    useful row tiles; the butterfly path takes over.
+    """
+    n1 = _four_step_kernel_n1(n)
+    if n1 is not None:
+        return ("four_step", n1)
+    if n in (16384, 32768) and (n & (n - 1)) == 0:
+        return ("tall", 16 if n == 16384 else 8)
+    return None
+
+
+def _rfft_kernel_dispatch(x: jnp.ndarray, plan, magnitude: bool, fast: bool):
+    from ..kernels.rfft import rfft_pallas_four_step, rfft_pallas_four_step_tall
+
+    prec = "fast" if fast else jax.lax.Precision.HIGHEST
+    kind, arg = plan
+    if kind == "four_step":
+        return rfft_pallas_four_step(x, n1=arg, magnitude=magnitude,
+                                     precision=prec)
+    return rfft_pallas_four_step_tall(x, row_tile=arg, magnitude=magnitude,
+                                      precision=prec)
 
 
 def rfft_magnitude(
@@ -228,25 +259,22 @@ def rfft_magnitude(
 ) -> jnp.ndarray:
     """|rfft(x)| — the spectrum op's workhorse.
 
-    ``engine``: 'auto' uses the Pallas four-step kernel (|X| fused) on TPU
+    ``engine``: 'auto' uses the fastest Pallas kernel (|X| fused) on TPU
     for supported sizes, else the XLA butterfly path; 'jnp' forces the
-    butterfly; 'pallas' forces the kernel (raising for unsupported sizes).
+    butterfly; 'pallas' forces a kernel (raising for unsupported sizes).
     ``fast`` (kernel path only): bf16x3 matmuls — reference-grade ~4e-6
     accuracy at half the MXU passes; False pins HIGHEST (~1e-7).
     """
-    n1 = _four_step_kernel_n1(x.shape[-1])
-    if engine == "pallas" and n1 is None:
+    plan = _rfft_kernel_plan(x.shape[-1])
+    if engine == "pallas" and plan is None:
         raise ValueError(
-            f"engine='pallas' requires a power-of-two N in [256, 4096], "
+            f"engine='pallas' requires a power-of-two N in [256, 32768], "
             f"got {x.shape[-1]}"
         )
     use_kernel = engine == "pallas" or (
-        engine == "auto" and n1 is not None and jax.default_backend() == "tpu"
+        engine == "auto" and plan is not None
+        and jax.default_backend() == "tpu"
     )
     if use_kernel:
-        from ..kernels.rfft import rfft_pallas_four_step
-
-        prec = "fast" if fast else jax.lax.Precision.HIGHEST
-        return rfft_pallas_four_step(x, n1=n1, magnitude=True,
-                                     precision=prec)
+        return _rfft_kernel_dispatch(x, plan, True, fast)
     return jnp.abs(rfft(x))

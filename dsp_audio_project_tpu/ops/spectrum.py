@@ -149,17 +149,14 @@ def stft(
     ]
     win_frames = jnp.concatenate(parts, axis=-1)  # (..., frames, nfft)
     win_frames = win_frames * jnp.asarray(_hann(nfft))
-    from .fft import _four_step_kernel_n1, rfft
+    from .fft import _rfft_kernel_dispatch, _rfft_kernel_plan, rfft
 
-    n1 = _four_step_kernel_n1(nfft)
-    if n1 is not None and jax.default_backend() == "tpu":
-        # Batched frames are the four-step kernel's shape: one HBM read,
+    plan = _rfft_kernel_plan(nfft)
+    if plan is not None and jax.default_backend() == "tpu":
+        # Batched frames are the four-step kernels' shape: one HBM read,
         # two MXU stages, one write (see kernels/rfft.py).  ``fast``
         # (default) = bf16x3, reference-grade ~4e-6; False pins HIGHEST.
-        from ..kernels.rfft import rfft_pallas_four_step
-
-        prec = "fast" if fast else jax.lax.Precision.HIGHEST
-        return rfft_pallas_four_step(win_frames, n1=n1, precision=prec)
+        return _rfft_kernel_dispatch(win_frames, plan, False, fast)
     return rfft(win_frames)
 
 

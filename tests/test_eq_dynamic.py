@@ -96,3 +96,82 @@ def test_dynamic_frames_no_recompile():
     for g in GAIN_SETS[:3]:
         equalize_dynamic_frames(fr, jnp.asarray(g), fs)
     assert equalize_dynamic_frames._cache_size() == n0 + 1
+
+
+def test_dynamic_ops_split_matches_inline():
+    """build_dynamic_operators + equalize_dynamic_frames_ops == the inline
+    traced-gains path (the serving split runs the same algebra)."""
+    from dsp_audio_project_tpu.ops.eq_dynamic import (
+        build_dynamic_operators,
+        equalize_dynamic_frames,
+        equalize_dynamic_frames_ops,
+    )
+
+    fs = 48000
+    P, F, G = 160, 301, 128
+    rng = np.random.default_rng(11)
+    frames = jnp.asarray(
+        (0.4 * rng.standard_normal((F, P))).astype(np.float32)
+    )
+    gains = jnp.asarray((6.0, -3.0, 0.0, 12.0, -15.0, 4.0))
+    want = np.asarray(equalize_dynamic_frames(frames, gains, fs))
+    K = -(-F // G)
+    ops = build_dynamic_operators(
+        gains, fs, EQConfig(), unroll=P, groups_per_block=G, num_blocks=K
+    )
+    assert ops.carry_w is not None and ops.carry_w.shape[0] == K * 12
+    got = np.asarray(equalize_dynamic_frames_ops(frames, ops))
+    assert snr_db(want, got) > 140.0
+
+
+def test_dynamic_ops_split_no_recompile():
+    """One builder compile + one apply compile serve every gain vector."""
+    from dsp_audio_project_tpu.ops.eq_dynamic import (
+        build_dynamic_operators,
+        equalize_dynamic_frames_ops,
+    )
+
+    fs = 48000
+    P, F, G = 160, 260, 128
+    frames = jnp.asarray(
+        make_test_signal(F * P, fs, seed=17).reshape(F, P)
+    )
+    K = -(-F // G)
+    ops0 = build_dynamic_operators(
+        jnp.asarray(GAIN_SETS[0]), fs, EQConfig(),
+        unroll=P, groups_per_block=G, num_blocks=K,
+    )
+    equalize_dynamic_frames_ops(frames, ops0)
+    # Cache counts after the first call; further gain vectors add none.
+    n0b = build_dynamic_operators._cache_size()
+    n0a = equalize_dynamic_frames_ops._cache_size()
+    for g in GAIN_SETS[1:3]:
+        ops = build_dynamic_operators(
+            jnp.asarray(g), fs, EQConfig(),
+            unroll=P, groups_per_block=G, num_blocks=K,
+        )
+        equalize_dynamic_frames_ops(frames, ops)
+    assert build_dynamic_operators._cache_size() == n0b
+    assert equalize_dynamic_frames_ops._cache_size() == n0a
+
+
+def test_pipeline_dynamic_ops_matches_inline():
+    """AudioPipeline serving split == jit_forward_frames_dynamic inline."""
+    from dsp_audio_project_tpu import AudioPipeline, PipelineConfig, SRCConfig
+    from dsp_audio_project_tpu.config import KernelConfig
+
+    fs = 44100
+    x = make_test_signal(30000, fs, seed=23)
+    cfg = PipelineConfig(
+        src=SRCConfig(L=160, M=147), eq=EQConfig(),
+        kernels=KernelConfig(interpret=True),
+    )
+    pipe = AudioPipeline(cfg)
+    gains = jnp.asarray((5.0, 0.0, -7.0, 2.0, 0.0, 9.0))
+    z_inline, _ = pipe.jit_forward_frames_dynamic()(jnp.asarray(x), gains, fs)
+    ops = pipe.dynamic_eq_operators(gains, fs, len(x))
+    z_split, _ = pipe.jit_forward_frames_dynamic_ops()(jnp.asarray(x), ops, fs)
+    n_out = cfg.src.output_length(len(x))
+    a = np.asarray(z_inline).reshape(-1)[:n_out]
+    b = np.asarray(z_split).reshape(-1)[:n_out]
+    assert snr_db(a, b) > 140.0

@@ -347,3 +347,52 @@ def test_fir_frames_dispatcher_routes():
                        interpret=True)
         )
         assert np.max(np.abs(got.reshape(-1)[:n_out] - want)) < 1e-5
+
+
+def test_rfft_tall_kernel_matches_numpy(rng):
+    """Tall (MXU-both-stages) four-step kernel: complex + magnitude parity.
+
+    N=16384 is the production size; interpret mode on CPU, tiny batch.
+    """
+    from dsp_audio_project_tpu.kernels.rfft import rfft_pallas_four_step_tall
+
+    n = 16384
+    x = rng.standard_normal((3, n)).astype(np.float32)
+    want = np.fft.rfft(x, axis=-1)
+    scale = np.max(np.abs(want))
+    got = np.asarray(
+        rfft_pallas_four_step_tall(jnp.asarray(x), row_tile=8, interpret=True)
+    )
+    assert got.shape == want.shape
+    assert np.max(np.abs(got - want)) / scale < 1e-5
+    mag = np.asarray(
+        rfft_pallas_four_step_tall(jnp.asarray(x), row_tile=8,
+                                   magnitude=True, interpret=True)
+    )
+    assert np.max(np.abs(mag - np.abs(want))) / scale < 1e-5
+
+
+def test_rfft_tall_kernel_fast_mode(rng):
+    from dsp_audio_project_tpu.kernels.rfft import rfft_pallas_four_step_tall
+
+    n = 16384
+    x = rng.standard_normal((2, n)).astype(np.float32)
+    want = np.fft.rfft(x, axis=-1)
+    got = np.asarray(
+        rfft_pallas_four_step_tall(jnp.asarray(x), row_tile=8,
+                                   precision="fast", interpret=True)
+    )
+    assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 5e-5
+
+
+def test_rfft_kernel_plan_routing():
+    """Size -> kernel routing: classic to 8192, tall at 16384/32768."""
+    from dsp_audio_project_tpu.ops.fft import _rfft_kernel_plan
+
+    assert _rfft_kernel_plan(2048) == ("four_step", 16)
+    assert _rfft_kernel_plan(4096) == ("four_step", 32)
+    assert _rfft_kernel_plan(8192) == ("four_step", 32)
+    assert _rfft_kernel_plan(16384) == ("tall", 16)
+    assert _rfft_kernel_plan(32768) == ("tall", 8)
+    assert _rfft_kernel_plan(65536) is None
+    assert _rfft_kernel_plan(3000) is None
