@@ -17,6 +17,23 @@ _FALLBACK_FS = 44100
 _PEAK_GUARD = 1e-6
 
 
+def _read_auto(src) -> Tuple[np.ndarray, int]:
+    """Container dispatch by magic: RIFF/WAVE or FORM/AIFF."""
+    if isinstance(src, str):
+        with open(src, "rb") as fh:
+            magic = fh.read(4)
+    elif hasattr(src, "read"):
+        src = src.read()
+        magic = bytes(src[:4])
+    else:
+        magic = bytes(src[:4])
+    if magic == b"FORM":
+        from .aiffio import read_aiff
+
+        return read_aiff(src)
+    return read_wav(src)
+
+
 def load_signal(
     src: Union[str, bytes, BinaryIO],
     *,
@@ -38,7 +55,8 @@ def load_signal(
 
     ``engine``: 'auto' decodes through the native C++ codec when its library
     is available (bit-matching the numpy path; tests/test_native.py), 'numpy'
-    forces the pure-Python codec.
+    forces the pure-Python codec.  Containers: RIFF/WAVE and FORM/AIFF,
+    sniffed by magic (the reference's libsndfile loader accepts both).
     """
     try:
         if engine == "auto":
@@ -51,13 +69,16 @@ def load_signal(
                         data = fh.read()
                 elif hasattr(src, "read"):
                     data = src.read()
-                try:
-                    x, fs = _native.decode(bytes(data), mono=mono)
-                    return x, int(fs)
-                except ValueError:
-                    # Unsupported layout for the native parser; numpy path.
-                    src = data
-        x, fs = read_wav(src)
+                data = bytes(data)
+                if data[:4] == b"RIFF":
+                    try:
+                        x, fs = _native.decode(data, mono=mono)
+                        return x, int(fs)
+                    except ValueError:
+                        # Unsupported layout for the native parser.
+                        pass
+                src = data
+        x, fs = _read_auto(src)
         if mono:
             if x.ndim > 1:
                 x = x.mean(axis=1)

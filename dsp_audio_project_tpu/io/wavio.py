@@ -67,6 +67,8 @@ def read_wav(src: Union[str, bytes, bytearray, BinaryIO]) -> Tuple[np.ndarray, i
         if fmt is None or data is None:
             raise ValueError("missing fmt/data chunk")
 
+        if len(fmt) < 16:
+            raise ValueError(f"malformed fmt chunk: {len(fmt)} bytes")
         (tag, channels, fs, _byte_rate, block_align, bits) = struct.unpack(
             "<HHIIHH", fmt[:16]
         )
@@ -77,7 +79,20 @@ def read_wav(src: Union[str, bytes, bytearray, BinaryIO]) -> Tuple[np.ndarray, i
             else:
                 raise ValueError("malformed WAVE_FORMAT_EXTENSIBLE fmt chunk")
 
-        n_frames = len(data) // block_align if block_align else 0
+        # Validate the frame geometry before any buffer arithmetic: a bogus
+        # block_align smaller than a frame silently misreads samples (and in
+        # a native decoder would read out of bounds).
+        if channels < 1:
+            raise ValueError("fmt chunk declares zero channels")
+        if bits % 8 or bits == 0:
+            raise ValueError(f"unsupported bit depth: {bits}")
+        if block_align != channels * (bits // 8):
+            raise ValueError(
+                f"block_align {block_align} inconsistent with "
+                f"{channels} ch x {bits} bits"
+            )
+
+        n_frames = len(data) // block_align
         data = data[: n_frames * block_align]
 
         if tag == _PCM:
@@ -125,8 +140,8 @@ def write_wav(
     """Encode ``samples`` to WAV.
 
     int16 arrays are written as PCM16 (the reference's output format,
-    app.py:354); float32/float64 arrays are written as IEEE float32.
-    Shape ``(N,)`` or ``(N, C)``.
+    app.py:354); float64 arrays as IEEE float64 (lossless archival), any
+    other dtype as IEEE float32.  Shape ``(N,)`` or ``(N, C)``.
     """
     x = np.asarray(samples)
     if x.ndim == 1:
@@ -136,6 +151,9 @@ def write_wav(
     if x.dtype == np.int16:
         tag, bits = _PCM, 16
         payload = x.astype("<i2").tobytes()
+    elif x.dtype == np.float64:
+        tag, bits = _IEEE_FLOAT, 64
+        payload = x.astype("<f8").tobytes()
     else:
         tag, bits = _IEEE_FLOAT, 32
         payload = x.astype("<f4").tobytes()

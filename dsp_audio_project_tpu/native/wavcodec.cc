@@ -76,6 +76,15 @@ int parse(const uint8_t* buf, uint64_t len, FmtInfo* out) {
     return -4;
   }
   if (out->tag == kFloat && out->bits != 32 && out->bits != 64) return -4;
+  // Frame-geometry guard: a block_align smaller than channels * bytes would
+  // make decode_sample read past the data chunk (heap over-read on fuzzed
+  // input); zero channels would divide by zero in the mono mix.  Strict
+  // equality keeps verdict parity with the numpy codec (io/wavio.py).
+  if (out->channels == 0) return -5;
+  if (static_cast<uint32_t>(out->block_align) !=
+      static_cast<uint32_t>(out->channels) * (out->bits / 8)) {
+    return -5;
+  }
   return 0;
 }
 
