@@ -10,10 +10,13 @@ Usage:  python scripts/sharded_real_chip.py  [seconds]
 """
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
