@@ -159,10 +159,19 @@ class MeshConfig:
 class KernelConfig:
     """Kernel-path selection and tiling knobs.
 
-    Paths: 'auto' picks the fastest measured implementation for the target
-    ('jnp' on current hardware — the fused XLA paths beat the standalone
-    Pallas kernels by avoiding tile-staging passes); 'pallas' forces the
-    Pallas kernels; 'jnp' forces the pure-XLA ops.
+    Routing ('auto', the default) selects the fastest MEASURED path at
+    every level (numbers: kernels/experiments/__init__.py, STATUS.md):
+
+    * ``AudioPipeline.__call__`` on TPU routes to the fused frame-major
+      path — the class-major FIR Pallas kernel (kernels/fir_class.py,
+      86 us/signal; shear kernel fallback for stride < 8) feeding the
+      scan-free XLA EQ at unroll = P.  This is the production chain.
+    * Inside the flat forward, 'auto' resolves to 'jnp' for both ops:
+      the fused XLA SRC/EQ beat the standalone experimental Pallas
+      kernels (they pay tile-staging/second-read taxes).
+    * 'pallas' forces the standalone experimental kernels
+      (kernels/experiments/) — research baselines, all oracle-gated;
+      'jnp' forces pure-XLA ops everywhere.
     """
 
     fir_path: str = "auto"           # 'auto' | 'pallas' | 'jnp'

@@ -30,7 +30,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..ops.src import PolyphasePlan
+from ...ops.src import PolyphasePlan
 
 DEFAULT_FRAME_TILE = 512
 

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..design.biquad import BlockOperators
+from ...design.biquad import BlockOperators
 
 # Blocks-per-tile: the K axis is the vector-parallel axis, so the tile should
 # cover as much of it as VMEM allows — tiling K serializes work the VPU could

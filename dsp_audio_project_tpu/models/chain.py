@@ -67,7 +67,7 @@ class AudioPipeline:
         if cfg.src.bypass or kc.resolve("fir") == "jnp":
             y, fs_out = resample(x, fs, cfg.src)
         else:
-            from ..kernels.fir import polyphase_fir
+            from ..kernels.experiments.fir import polyphase_fir
             from ..ops.src import make_plan
 
             plan = make_plan(cfg.src.L, cfg.src.M, cfg.src.taps_rule_factor)

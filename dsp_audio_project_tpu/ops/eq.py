@@ -428,13 +428,15 @@ def equalize_pallas(
     unroll: int = 16,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """``equalize`` through the Pallas block kernels (kernels/iir.py).
+    """``equalize`` through the experimental Pallas block kernels
+    (kernels/experiments/iir.py — superseded by the fused XLA path; kept
+    with its measured numbers).
 
     Same semantics and operators as the jnp path; the kernels re-run the
     recurrence from true initial states instead of applying a correction
     matmul, so HBM sees x twice and y once.
     """
-    from ..kernels.iir import block_apply, block_end_states
+    from ..kernels.experiments.iir import block_apply, block_end_states
 
     if cfg.bypass:
         return x

@@ -9,9 +9,9 @@ import pytest
 import jax.numpy as jnp
 
 from dsp_audio_project_tpu import EQConfig, SRCConfig
-from dsp_audio_project_tpu.kernels.fir import polyphase_fir
-from dsp_audio_project_tpu.kernels.iir import block_apply, block_end_states
-from dsp_audio_project_tpu.kernels.rfft import rfft_pallas
+from dsp_audio_project_tpu.kernels.experiments.fir import polyphase_fir
+from dsp_audio_project_tpu.kernels.experiments.iir import block_apply, block_end_states
+from dsp_audio_project_tpu.kernels.experiments.rfft_butterfly import rfft_pallas
 from dsp_audio_project_tpu.ops.eq import (
     _block_recurrence,
     _carry_states,
@@ -144,7 +144,7 @@ def test_rfft_four_step_kernel_fast_mode(rng):
 
 def test_fir_dma_kernel_matches_oracle():
     """Manual-DMA FIR kernel (interpret mode) incl. batch-row boundaries."""
-    from dsp_audio_project_tpu.kernels.fir_dma import polyphase_fir_dma
+    from dsp_audio_project_tpu.kernels.experiments.fir_dma import polyphase_fir_dma
 
     fs = 44100
     xs = np.stack([make_test_signal(20000, fs, seed=s) for s in range(2)])
