@@ -26,7 +26,7 @@ from ..config import PipelineConfig
 from ..io.signal_io import export_wav
 from ..models.chain import AudioPipeline
 from ..ops.spectrum import angular_spectrum, magnitude_spectrum
-from .svgplot import Figure, decimate_for_display
+from .svgplot import Figure, decimate_for_display, interactive_script
 
 _BAND_EDGES_HZ = (60.0, 250.0, 2000.0, 4000.0, 6000.0)  # app.py:235
 
@@ -62,6 +62,50 @@ def _masked_db(freqs: np.ndarray, mag: np.ndarray):
     return freqs[mask], 20.0 * np.log10(np.asarray(mag)[mask] + 1e-12)
 
 
+def _append_main_charts(parts, x, y, z, fs, fs_out, config, normalized_omega):
+    """A7 overview figures: time-domain overlay + spectral cascade."""
+    t_in = np.linspace(0, len(x) / fs, len(x))
+    t_out = np.linspace(0, len(z) / fs_out, len(z))
+    fig_t = Figure("Time-domain evolution", xlabel="time (s)", ylabel="amplitude")
+    fig_t.line(decimate_for_display(t_in), decimate_for_display(x),
+               "#888888", "x[n] input", opacity=0.4)
+    fig_t.line(decimate_for_display(t_out), decimate_for_display(y),
+               "#ffd700", "y[n] resampled", opacity=0.8)
+    fig_t.line(decimate_for_display(t_out), decimate_for_display(z),
+               "#00ff00", "z[n] output", width=1.5)
+    parts.append("<h2>Time domain</h2>" + fig_t.render(interactive=True))
+
+    scfg = config.spectrum
+    f_x, m_x = magnitude_spectrum(x, fs, scfg)
+    f_y, m_y = magnitude_spectrum(y, fs_out, scfg)
+    f_z, m_z = magnitude_spectrum(z, fs_out, scfg)
+    fx, dbx = _masked_db(f_x, m_x)
+    fy, dby = _masked_db(f_y, m_y)
+    fz, dbz = _masked_db(f_z, m_z)
+    if normalized_omega:
+        # app.py:213-224: omega = 2 pi f / fs; Nyquist maps to pi.
+        fx = fx * (2 * np.pi / fs)
+        fy = fy * (2 * np.pi / fs_out)
+        fz = fz * (2 * np.pi / fs_out)
+        xlabel = "normalized frequency (rad/sample), pi = Nyquist"
+    else:
+        xlabel = "frequency (Hz)"
+    fig_f = Figure("Spectral cascade", xlabel=xlabel, ylabel="magnitude (dB)",
+                   logx=True)
+    fig_f.line(decimate_for_display(fx), decimate_for_display(dbx),
+               "#888888", "|X| input", opacity=0.5)
+    fig_f.line(decimate_for_display(fy), decimate_for_display(dby),
+               "#ffd700", "|Y| resampled", opacity=0.8)
+    fig_f.line(decimate_for_display(fz), decimate_for_display(dbz),
+               "#00e5ff", "|Z| output", width=1.5)
+    limit = np.pi if normalized_omega else fs_out / 2
+    for edge in _BAND_EDGES_HZ:
+        pos = edge * (2 * np.pi / fs_out) if normalized_omega else edge
+        if pos < limit:
+            fig_f.vline(pos)
+    parts.append("<h2>Frequency domain</h2>" + fig_f.render(interactive=True))
+
+
 def render_report(
     x: np.ndarray,
     fs: int,
@@ -71,8 +115,14 @@ def render_report(
     normalized_omega: bool = False,
     stem_time_s: Optional[float] = None,
     include_audio: bool = True,
+    main_charts: bool = True,
 ) -> str:
-    """Process ``x`` through the configured chain and render the full report."""
+    """Process ``x`` through the configured chain and render the full report.
+
+    ``main_charts=False`` skips the time/frequency overview figures — the
+    webapp uses it when plotly is present and renders those two views as
+    native plotly charts (A7 interactivity) above the embedded report.
+    """
     pipe = AudioPipeline(config)
     out = pipe(x, fs, with_spectra=False)
     y = np.asarray(out.resampled)
@@ -106,47 +156,9 @@ def render_report(
         ))
 
     # --- time domain (A7 tab 1) ----------------------------------------
-    t_in = np.linspace(0, len(x) / fs, len(x))
-    t_out = np.linspace(0, len(z) / fs_out, len(z))
-    fig_t = Figure("Time-domain evolution", xlabel="time (s)", ylabel="amplitude")
-    fig_t.line(decimate_for_display(t_in), decimate_for_display(x),
-               "#888888", "x[n] input", opacity=0.4)
-    fig_t.line(decimate_for_display(t_out), decimate_for_display(y),
-               "#ffd700", "y[n] resampled", opacity=0.8)
-    fig_t.line(decimate_for_display(t_out), decimate_for_display(z),
-               "#00ff00", "z[n] output", width=1.5)
-    parts.append("<h2>Time domain</h2>" + fig_t.render())
-
-    # --- spectra (A7 tab 2) --------------------------------------------
-    scfg = config.spectrum
-    f_x, m_x = magnitude_spectrum(x, fs, scfg)
-    f_y, m_y = magnitude_spectrum(y, fs_out, scfg)
-    f_z, m_z = magnitude_spectrum(z, fs_out, scfg)
-    fx, dbx = _masked_db(f_x, m_x)
-    fy, dby = _masked_db(f_y, m_y)
-    fz, dbz = _masked_db(f_z, m_z)
-    if normalized_omega:
-        # app.py:213-224: omega = 2 pi f / fs; Nyquist maps to pi.
-        fx = fx * (2 * np.pi / fs)
-        fy = fy * (2 * np.pi / fs_out)
-        fz = fz * (2 * np.pi / fs_out)
-        xlabel = "normalized frequency (rad/sample), pi = Nyquist"
-    else:
-        xlabel = "frequency (Hz)"
-    fig_f = Figure("Spectral cascade", xlabel=xlabel, ylabel="magnitude (dB)",
-                   logx=True)
-    fig_f.line(decimate_for_display(fx), decimate_for_display(dbx),
-               "#888888", "|X| input", opacity=0.5)
-    fig_f.line(decimate_for_display(fy), decimate_for_display(dby),
-               "#ffd700", "|Y| resampled", opacity=0.8)
-    fig_f.line(decimate_for_display(fz), decimate_for_display(dbz),
-               "#00e5ff", "|Z| output", width=1.5)
-    limit = np.pi if normalized_omega else fs_out / 2
-    for edge in _BAND_EDGES_HZ:
-        pos = edge * (2 * np.pi / fs_out) if normalized_omega else edge
-        if pos < limit:
-            fig_f.vline(pos)
-    parts.append("<h2>Frequency domain</h2>" + fig_f.render())
+    if main_charts:
+        _append_main_charts(parts, x, y, z, fs, fs_out, config,
+                            normalized_omega)
 
     # --- stem views (A8) ------------------------------------------------
     duration = len(x) / fs
@@ -178,7 +190,7 @@ def render_report(
         fig = Figure(name, xlabel="n (relative samples)",
                      ylabel="norm. amp.", height=200)
         fig.stem(axis, vals, color)
-        parts.append(fig.render())
+        parts.append(fig.render(interactive=True))
 
     # --- angular spectrum (A8, app.py:305-343) --------------------------
     n_fft = 1024
@@ -206,8 +218,11 @@ def render_report(
         w_z, a_z = angular_spectrum(_pad_pow2(seg_z))
         fig_w.line(w_z, 20 * np.log10(np.asarray(a_z) + 1e-9), "#00ff00",
                    "z[n]", opacity=0.8)
-    parts.append("<h2>Angular spectrum</h2>" + fig_w.render())
+    parts.append("<h2>Angular spectrum</h2>" + fig_w.render(interactive=True))
 
+    # Zoom/pan/hover on every chart, view persisted per browser session
+    # (the plotly uirevision analog, app.py:186-199).  Self-contained JS.
+    parts.append(interactive_script(session))
     parts.append("</body></html>")
     return "".join(parts)
 

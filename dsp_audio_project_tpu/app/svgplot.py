@@ -4,9 +4,18 @@ The reference renders with plotly + matplotlib (app.py:3-4) — neither is a
 TPU-image dependency, so the framework carries a small SVG backend
 sufficient for its four analysis views: overlaid line plots (linear/log x),
 dashed vertical markers, and stem plots.
+
+``render(interactive=True)`` adds the reference UI's plotly affordances
+(app.py:186-251) with zero external dependencies: wheel zoom (x; shift =
+y), drag pan, double-click reset, hover coordinate readout, and zoom-state
+persistence in sessionStorage (the `uirevision` analog — the view survives
+a report reload in the same browser session).  The driving script is
+``INTERACTIVE_JS`` — include it once per page.
 """
 from __future__ import annotations
 
+import itertools
+import json
 import math
 from typing import List, Optional, Tuple
 
@@ -118,13 +127,39 @@ class Figure:
             return f"{v/1000:.3g}k"
         return f"{v:.3g}"
 
-    def render(self) -> str:
+    _ids = itertools.count()
+
+    def render(self, interactive: bool = False) -> str:
         xr, yr = self._ranges()
         px, py = self._px(xr), self._py(yr)
+        fid = f"ip{next(Figure._ids)}"
+        attrs = ""
+        if interactive:
+            # Axis-space view description for INTERACTIVE_JS: L(v) = log10(v)
+            # on a log x axis, identity otherwise.  All zoom/pan math runs
+            # in pixel/axis space, so the traces group only needs a matrix
+            # transform — paths are never re-generated.
+            meta = dict(
+                lx0=math.log10(xr[0]) if self.logx else xr[0],
+                lx1=math.log10(xr[1]) if self.logx else xr[1],
+                y0=yr[0], y1=yr[1], logx=bool(self.logx),
+                ml=_ML, mt=_MT, iw=self.w - _ML - _MR,
+                ih=self.h - _MT - _MB,
+            )
+            attrs = (f' class="iplot" id="{fid}" data-ip=\''
+                     f'{json.dumps(meta)}\'')
         parts = [
             f'<svg xmlns="http://www.w3.org/2000/svg" width="{self.w}" '
-            f'height="{self.h}" style="background:{_BG};font-family:monospace">'
+            f'height="{self.h}"{attrs} '
+            f'style="background:{_BG};font-family:monospace">'
         ]
+        if interactive:
+            parts.append(
+                f'<defs><clipPath id="{fid}c"><rect x="{_ML}" y="{_MT}" '
+                f'width="{self.w-_ML-_MR}" height="{self.h-_MT-_MB}"/>'
+                f'</clipPath></defs>'
+            )
+            parts.append('<g class="ip-grid">')
         # grid + ticks
         for xt in self._xticks(xr):
             if xt < xr[0] or xt > xr[1]:
@@ -140,6 +175,10 @@ class Figure:
                          f'y2="{Y:.1f}" stroke="{_GRID}" stroke-width="0.5"/>')
             parts.append(f'<text x="{_ML-6}" y="{Y+3:.1f}" fill="{_TEXT}" '
                          f'font-size="10" text-anchor="end">{self._fmt(yt)}</text>')
+        if interactive:
+            parts.append('</g>')
+            parts.append(f'<g class="ip-view" clip-path="url(#{fid}c)">')
+        vec = ' vector-effect="non-scaling-stroke"' if interactive else ""
         # vlines
         for xv, color in self.vlines:
             if xr[0] <= xv <= xr[1]:
@@ -147,7 +186,7 @@ class Figure:
                 parts.append(
                     f'<line x1="{X:.1f}" y1="{_MT}" x2="{X:.1f}" '
                     f'y2="{self.h-_MB}" stroke="{color}" stroke-width="1" '
-                    f'stroke-dasharray="5,4" opacity="0.7"/>'
+                    f'stroke-dasharray="5,4" opacity="0.7"{vec}/>'
                 )
         # traces
         y_base = py(max(yr[0], min(0.0, yr[1])))
@@ -157,7 +196,7 @@ class Figure:
                 for xi, yi in zip(X, Y):
                     parts.append(
                         f'<line x1="{xi:.1f}" y1="{y_base:.1f}" x2="{xi:.1f}" '
-                        f'y2="{yi:.1f}" stroke="{t["color"]}" stroke-width="1"/>'
+                        f'y2="{yi:.1f}" stroke="{t["color"]}" stroke-width="1"{vec}/>'
                     )
                     parts.append(
                         f'<circle cx="{xi:.1f}" cy="{yi:.1f}" r="2.4" '
@@ -169,8 +208,25 @@ class Figure:
                 parts.append(
                     f'<polyline points="{pts}" fill="none" '
                     f'stroke="{t["color"]}" stroke-width="{t["lw"]}" '
-                    f'opacity="{t["op"]}"{dash}/>'
+                    f'opacity="{t["op"]}"{dash}{vec}/>'
                 )
+        if interactive:
+            parts.append('</g>')
+            # Hover crosshair + readout + event surface (JS drives these).
+            parts.append(
+                f'<g class="ip-hover" visibility="hidden">'
+                f'<line class="ip-hx" x1="0" y1="{_MT}" x2="0" '
+                f'y2="{self.h-_MB}" stroke="#777" stroke-width="0.7"/>'
+                f'<line class="ip-hy" x1="{_ML}" y1="0" x2="{self.w-_MR}" '
+                f'y2="0" stroke="#777" stroke-width="0.7"/>'
+                f'<text class="ip-ht" x="{self.w-_MR-4}" y="{_MT+12}" '
+                f'fill="#e8ffe8" font-size="10" text-anchor="end"></text></g>'
+            )
+            parts.append(
+                f'<rect class="ip-evt" x="{_ML}" y="{_MT}" '
+                f'width="{self.w-_ML-_MR}" height="{self.h-_MT-_MB}" '
+                f'fill="transparent" style="cursor:crosshair"/>'
+            )
         # title/labels/legend
         parts.append(f'<text x="{_ML}" y="18" fill="{_FG}" font-size="13">'
                      f'{_esc(self.title)}</text>')
@@ -190,6 +246,119 @@ class Figure:
                     f'font-size="11" text-anchor="end">{_esc(t["label"])}</text>')
         parts.append("</svg>")
         return "".join(parts)
+
+
+# Vanilla-JS driver for every .iplot SVG on the page: wheel = zoom x
+# (shift = zoom y), drag = pan, double-click = reset, hover = coordinate
+# readout.  Views persist in sessionStorage under "ipview_<KEY>_<index>"
+# — substitute %(key)s with a per-report session id (the uirevision
+# analog, app.py:186-199).  All math runs in axis space (log10 on log-x
+# charts), so the trace group needs only a matrix transform and the grid
+# is re-labelled from the visible range.
+INTERACTIVE_JS = r"""
+(function(){
+ 'use strict';
+ var NS='http://www.w3.org/2000/svg';
+ function fmt(v){
+   if(v===0) return '0';
+   if(Math.abs(v)>=1000) return (v/1000).toPrecision(3).replace(/\.?0+$/,'')+'k';
+   return v.toPrecision(3).replace(/(\.\d*?)0+$/,'$1').replace(/\.$/,'');
+ }
+ document.querySelectorAll('svg.iplot').forEach(function(svg,idx){
+  var m=JSON.parse(svg.getAttribute('data-ip'));
+  var key='ipview_%(key)s_'+idx;
+  var full={x0:m.lx0,x1:m.lx1,y0:m.y0,y1:m.y1};
+  var v={x0:m.lx0,x1:m.lx1,y0:m.y0,y1:m.y1};
+  try{var s=sessionStorage.getItem(key); if(s){var p=JSON.parse(s);
+      if(isFinite(p.x0)&&p.x1>p.x0&&p.y1>p.y0) v=p;}}catch(e){}
+  var view=svg.querySelector('.ip-view'), grid=svg.querySelector('.ip-grid');
+  var evt=svg.querySelector('.ip-evt'), hov=svg.querySelector('.ip-hover');
+  var hx=svg.querySelector('.ip-hx'), hy=svg.querySelector('.ip-hy');
+  var ht=svg.querySelector('.ip-ht');
+  // original px mapping (what the server rendered against)
+  function pxo(u){return m.ml+(u-full.x0)/(full.x1-full.x0)*m.iw;}
+  function pyo(w){return m.mt+(full.y1-w)/(full.y1-full.y0)*m.ih;}
+  function apply(){
+    var a=m.iw/(pxo(v.x1)-pxo(v.x0)), b=m.ml-a*pxo(v.x0);
+    var d=m.ih/(pyo(v.y0)-pyo(v.y1)), f=m.mt-d*pyo(v.y1);
+    view.setAttribute('transform','matrix('+a+' 0 0 '+d+' '+b+' '+f+')');
+    redrawGrid();
+    try{sessionStorage.setItem(key,JSON.stringify(v));}catch(e){}
+  }
+  function mk(tag,at){var e=document.createElementNS(NS,tag);
+    for(var k in at) e.setAttribute(k,at[k]); return e;}
+  function redrawGrid(){
+    while(grid.firstChild) grid.removeChild(grid.firstChild);
+    var xs=[];
+    if(m.logx && (v.x1-v.x0)>=1){
+      for(var e=Math.ceil(v.x0); e<=Math.floor(v.x1); e++) xs.push(e);
+    } else { for(var i=0;i<6;i++) xs.push(v.x0+(v.x1-v.x0)*i/5); }
+    xs.forEach(function(u){
+      var X=m.ml+(u-v.x0)/(v.x1-v.x0)*m.iw;
+      grid.appendChild(mk('line',{x1:X,y1:m.mt,x2:X,y2:m.mt+m.ih,
+        stroke:'#333333','stroke-width':'0.5'}));
+      var t=mk('text',{x:X,y:m.mt+m.ih+16,fill:'#9adf9a',
+        'font-size':'10','text-anchor':'middle'});
+      t.textContent=fmt(m.logx?Math.pow(10,u):u);
+      grid.appendChild(t);
+    });
+    for(var i=0;i<5;i++){
+      var w=v.y0+(v.y1-v.y0)*i/4;
+      var Y=m.mt+(v.y1-w)/(v.y1-v.y0)*m.ih;
+      grid.appendChild(mk('line',{x1:m.ml,y1:Y,x2:m.ml+m.iw,y2:Y,
+        stroke:'#333333','stroke-width':'0.5'}));
+      var t=mk('text',{x:m.ml-6,y:Y+3,fill:'#9adf9a','font-size':'10',
+        'text-anchor':'end'});
+      t.textContent=fmt(w); grid.appendChild(t);
+    }
+  }
+  function dataAt(ev){
+    var r=svg.getBoundingClientRect();
+    var px=(ev.clientX-r.left)*svg.width.baseVal.value/r.width;
+    var py=(ev.clientY-r.top)*svg.height.baseVal.value/r.height;
+    return {px:px,py:py,
+      u:v.x0+(px-m.ml)/m.iw*(v.x1-v.x0),
+      w:v.y1-(py-m.mt)/m.ih*(v.y1-v.y0)};
+  }
+  evt.addEventListener('wheel',function(ev){
+    ev.preventDefault();
+    var c=dataAt(ev), k=Math.pow(1.18,ev.deltaY>0?1:-1);
+    if(ev.shiftKey){
+      v.y0=c.w-(c.w-v.y0)*k; v.y1=c.w+(v.y1-c.w)*k;
+    }else{
+      v.x0=c.u-(c.u-v.x0)*k; v.x1=c.u+(v.x1-c.u)*k;
+    }
+    apply();
+  },{passive:false});
+  var drag=null;
+  evt.addEventListener('mousedown',function(ev){drag=dataAt(ev);});
+  window.addEventListener('mouseup',function(){drag=null;});
+  evt.addEventListener('mousemove',function(ev){
+    var c=dataAt(ev);
+    if(drag){
+      var du=drag.u-c.u, dw=drag.w-c.w;
+      v.x0+=du; v.x1+=du; v.y0+=dw; v.y1+=dw;
+      apply(); return;
+    }
+    hov.setAttribute('visibility','visible');
+    hx.setAttribute('x1',c.px); hx.setAttribute('x2',c.px);
+    hy.setAttribute('y1',c.py); hy.setAttribute('y2',c.py);
+    ht.textContent='x='+fmt(m.logx?Math.pow(10,c.u):c.u)+'  y='+fmt(c.w);
+  });
+  evt.addEventListener('mouseleave',function(){
+    hov.setAttribute('visibility','hidden');});
+  evt.addEventListener('dblclick',function(){
+    v={x0:full.x0,x1:full.x1,y0:full.y0,y1:full.y1}; apply();});
+  if(v.x0!==full.x0||v.x1!==full.x1||v.y0!==full.y0||v.y1!==full.y1) apply();
+ });
+})();
+"""
+
+
+def interactive_script(session_key: str) -> str:
+    """The <script> block enabling zoom/pan/hover on every .iplot figure."""
+    return "<script>%s</script>" % (INTERACTIVE_JS.replace("%(key)s",
+                                                           session_key))
 
 
 def decimate_for_display(data: np.ndarray, max_points: int = 2500) -> np.ndarray:

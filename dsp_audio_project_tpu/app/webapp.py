@@ -66,6 +66,66 @@ _EXAMPLES = {
 }
 
 
+def _plotly_views(st, x, y, z, fs, fs_out, cfg, omega,
+                  session_id) -> bool:  # pragma: no cover - needs plotly
+    """Native plotly time + frequency views (A7, app.py:173-251).
+
+    Returns False when plotly isn't installed — callers fall back to the
+    report's interactive SVG.  ``uirevision=session_id`` preserves the
+    user's zoom across Streamlit reruns exactly like the reference
+    (app.py:186-199).
+    """
+    try:
+        import plotly.graph_objects as go
+    except ImportError:
+        return False
+
+    from ..ops.spectrum import magnitude_spectrum
+    from .report import _BAND_EDGES_HZ, _masked_db
+    from .svgplot import decimate_for_display as dec
+
+    t_in = np.linspace(0, len(x) / fs, len(x))
+    t_out = np.linspace(0, len(z) / fs_out, len(z))
+    fig_t = go.Figure()
+    fig_t.add_scatter(x=dec(t_in), y=dec(x), name="x[n] input",
+                      line=dict(color="#888888"), opacity=0.4)
+    fig_t.add_scatter(x=dec(t_out), y=dec(y), name="y[n] resampled",
+                      line=dict(color="#ffd700"), opacity=0.8)
+    fig_t.add_scatter(x=dec(t_out), y=dec(z), name="z[n] output",
+                      line=dict(color="#00ff00"))
+    fig_t.update_layout(title="Time-domain evolution", template="plotly_dark",
+                        uirevision=session_id, xaxis_title="time (s)")
+    st.plotly_chart(fig_t, use_container_width=True)
+
+    scfg = cfg.spectrum
+    fig_f = go.Figure()
+    for sig, rate, name, color, op in (
+        (x, fs, "|X| input", "#888888", 0.5),
+        (y, fs_out, "|Y| resampled", "#ffd700", 0.8),
+        (z, fs_out, "|Z| output", "#00e5ff", 1.0),
+    ):
+        f, m = magnitude_spectrum(sig, rate, scfg)
+        fr, db = _masked_db(f, m)
+        if omega:
+            fr = fr * (2 * np.pi / rate)
+        fig_f.add_scatter(x=dec(fr), y=dec(db), name=name,
+                          line=dict(color=color), opacity=op)
+    for edge in _BAND_EDGES_HZ:
+        pos = edge * (2 * np.pi / fs_out) if omega else edge
+        if pos < (np.pi if omega else fs_out / 2):
+            fig_f.add_vline(x=pos, line_dash="dash", line_color="#ff5500",
+                            opacity=0.7)
+    fig_f.update_layout(
+        title="Spectral cascade", template="plotly_dark",
+        uirevision=session_id, yaxis_title="magnitude (dB)",
+        xaxis_title=("normalized frequency (rad/sample)" if omega
+                     else "frequency (Hz)"),
+        xaxis_type="log",
+    )
+    st.plotly_chart(fig_f, use_container_width=True)
+    return True
+
+
 def main() -> None:  # pragma: no cover - UI glue, needs streamlit
     if not HAVE_STREAMLIT:
         raise SystemExit(
@@ -161,14 +221,25 @@ def main() -> None:  # pragma: no cover - UI glue, needs streamlit
         t_sel = st.slider("Analysis instant (seconds)", 0.0, duration,
                           duration / 2.0, step=0.01)
 
+    # Native plotly charts for the A7 views when plotly is installed —
+    # full zoom/pan/hover with uirevision persistence (app.py:186-251);
+    # otherwise the embedded report's self-contained interactive SVG covers
+    # the same gestures.
+    used_plotly = mode == "Spectral & temporal" and _plotly_views(
+        st, x, np.asarray(out.resampled), z, fs, out.fs_out, cfg, omega,
+        st.session_state.session_id,
+    )
+
     html = render_report(
         x, fs, cfg,
         title=st.session_state.name or "analysis",
         normalized_omega=omega,
         stem_time_s=t_sel,
         include_audio=True,
+        main_charts=not used_plotly,
     )
-    st.components.v1.html(html, height=2400, scrolling=True)
+    st.components.v1.html(html, height=1400 if used_plotly else 2400,
+                          scrolling=True)
 
     buf = io.BytesIO()
     buf.write(export_wav(z, out.fs_out))

@@ -128,3 +128,54 @@ def test_cli_multichannel(tmp_path, rng):
     assert rc == 0
     y, fs_out = read_wav(out)
     assert fs_out == fs // 2 and y.shape[1] == 2
+
+
+def test_interactive_svg_structure():
+    """interactive=True emits the zoom/pan scaffolding with valid metadata."""
+    import json
+    import re
+
+    f = Figure("t", xlabel="x", ylabel="y", logx=True)
+    f.line([1, 10, 100], [0.0, 1.0, -1.0], "#00ff00", "sig")
+    f.vline(50.0)
+    svg = f.render(interactive=True)
+    assert 'class="iplot"' in svg
+    assert svg.count('class="ip-grid"') == 1
+    assert svg.count('class="ip-view"') == 1
+    assert 'clip-path="url(#' in svg
+    assert "vector-effect" in svg  # strokes survive zoom scaling
+    assert 'class="ip-evt"' in svg and 'class="ip-hover"' in svg
+    meta = json.loads(re.search(r"data-ip='([^']+)'", svg).group(1))
+    assert meta["logx"] is True
+    assert meta["lx1"] > meta["lx0"] and meta["y1"] > meta["y0"]
+    assert meta["iw"] > 0 and meta["ih"] > 0
+    # non-interactive output carries none of the machinery
+    plain = Figure("t").line([0, 1], [0, 1], "#fff").render()
+    assert "iplot" not in plain and "vector-effect" not in plain
+
+
+def test_report_carries_interactive_script(audio_44k):
+    from dsp_audio_project_tpu.app.svgplot import INTERACTIVE_JS
+
+    x, fs = audio_44k
+    html = render_report(x[:8000], fs, PipelineConfig(), include_audio=False)
+    # One driver script, one key substitution, balanced braces.
+    assert html.count("ipview_") == 1
+    assert "%(key)s" not in html
+    script = html[html.rindex("(function()") :]
+    script = script[: script.index("</script>")]
+    assert script.count("{") == script.count("}")
+    assert script.count("(") == script.count(")")
+    # every chart is interactive
+    assert html.count('class="iplot"') == html.count("<svg")
+
+
+def test_report_main_charts_flag(audio_44k):
+    x, fs = audio_44k
+    full = render_report(x[:8000], fs, PipelineConfig(), include_audio=False)
+    slim = render_report(x[:8000], fs, PipelineConfig(), include_audio=False,
+                         main_charts=False)
+    assert "Spectral cascade" in full and "Time-domain evolution" in full
+    assert "Spectral cascade" not in slim
+    assert "Time-domain evolution" not in slim
+    assert "Angular spectrum" in slim  # stems/angular always present
