@@ -128,6 +128,62 @@ def _grouped_states(
     return s_in, end_states
 
 
+def _grouped_run(
+    x_g: jnp.ndarray,
+    ops: BlockOperators,
+    sigma0: jnp.ndarray | None = None,
+    fast: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One full grouped EQ pass: (y unclipped, end_states, sigma).
+
+    In fast mode the state-injection and FIR-output matmuls share ONE
+    weight-concatenated bf16x3 matmul  x_g @ [fir^T | group_in]  — the
+    frames tensor is read from HBM once instead of twice (measured 101 ->
+    89 us/signal on the 60 s serving config).  Concatenating along the
+    WEIGHT columns is cheap; the earlier [x | s] INPUT concat was the
+    lane-misaligned-copy trap documented in _grouped_apply.  Full
+    precision keeps the split form: inj must stay HIGHEST there, and a
+    HIGHEST concat would double the FIR matmul's MXU passes.
+    """
+    f32 = jnp.float32
+    d = ops.A.shape[0]
+    U = ops.unroll
+    G = x_g.shape[-2]
+    lead = x_g.shape[:-2]
+    toe = jnp.asarray(ops.group_toeplitz, dtype=f32)
+    if fast:
+        w_cat = np.concatenate([ops.group_fir.T, ops.group_in], axis=1)
+        cat = jnp.einsum(
+            "...gu,uv->...gv", x_g, jnp.asarray(w_cat, dtype=f32),
+            precision=jax.lax.Precision.HIGH, preferred_element_type=f32,
+        )
+        y0 = cat[..., :U]
+        inj = cat[..., U:]
+    else:
+        inj = einsum_f32("...gu,ud->...gd", x_g,
+                         jnp.asarray(ops.group_in, dtype=f32))
+        y0 = jnp.einsum(
+            "...gu,uv->...gv", x_g,
+            jnp.asarray(ops.group_fir.T, dtype=f32),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=f32,
+        )
+    s_tail = einsum_f32(
+        "...x,xy->...y", inj.reshape(lead + (G * d,)), toe
+    ).reshape(lead + (G, d))
+    end_states = s_tail[..., G - 1, :]
+    s_in = jnp.concatenate(
+        [jnp.zeros(lead + (1, d), f32), s_tail[..., : G - 1, :]], axis=-2
+    )
+    sigma = _carry_states(end_states, ops, sigma0)
+    gPows = jnp.asarray(ops.group_pows, dtype=f32)
+    s_true = s_in + einsum_f32("gef,...kf->...kge", gPows, sigma)
+    y = y0 + einsum_f32(
+        "...gd,du->...gu", s_true, jnp.asarray(ops.group_out, dtype=f32)
+    )
+    return y, end_states, sigma
+
+
 def _grouped_apply(
     x_g: jnp.ndarray,
     s_in: jnp.ndarray,
@@ -312,9 +368,7 @@ def equalize_frames(
         frames.astype(jnp.float32),
         [(0, 0)] * len(lead) + [(0, pad), (0, 0)],
     ).reshape(lead + (K, G, P))
-    s_in, end_states = _grouped_states(x_g, ops)
-    sigma = _carry_states(end_states, ops)                    # (..., K, d)
-    y = _grouped_apply(x_g, s_in, sigma, ops, fast=fast)
+    y, _, _ = _grouped_run(x_g, ops, fast=fast)
     y = y.reshape(lead + (K * G, P))[..., :F, :]
     return jnp.clip(y, -1.0, 1.0)
 
@@ -346,9 +400,7 @@ def _equalize_blocks(
     G = block // U
     x_g = xb.reshape(x.shape[:-1] + (K, G, U))
 
-    s_in, end_states = _grouped_states(x_g, ops)
-    sigma = _carry_states(end_states, ops, sigma0)  # (..., K, d)
-    y = _grouped_apply(x_g, s_in, sigma, ops, fast=fast)
+    y, end_states, sigma = _grouped_run(x_g, ops, sigma0, fast=fast)
     y = y.reshape(x.shape[:-1] + (K * block,))[..., :n]
     if not with_state:
         return y

@@ -332,11 +332,24 @@ def _dynamic_grouped(
     """
     f32 = jnp.float32
     d = ops.group_in.shape[-1]
+    U = ops.group_in.shape[0]
     G = x_g.shape[-2]
     K = x_g.shape[-3]
     lead = x_g.shape[:-2]
 
-    inj = einsum_f32("...gu,ud->...gd", x_g, ops.group_in)  # (..., K, G, d)
+    y0 = None
+    if fast:
+        # Weight-concat fusion (see ops/eq._grouped_run): injection and FIR
+        # output share one bf16x3 matmul — the frames read from HBM once.
+        w_cat = jnp.concatenate([ops.fir_t, ops.group_in], axis=1)
+        cat = jnp.einsum(
+            "...gu,uv->...gv", x_g, w_cat,
+            precision=jax.lax.Precision.HIGH, preferred_element_type=f32,
+        )
+        y0 = cat[..., :U]
+        inj = cat[..., U:]
+    else:
+        inj = einsum_f32("...gu,ud->...gd", x_g, ops.group_in)
     s_tail = einsum_f32(
         "...x,xy->...y", inj.reshape(lead + (G * d,)), ops.toe
     ).reshape(lead + (G, d))                              # s_1..s_G
@@ -386,12 +399,13 @@ def _dynamic_grouped(
     # group-entry states; FIR and state readout are split matmuls whose
     # add fuses into the second's epilogue.
     s_true = s_in + einsum_f32("gef,...kf->...kge", ops.pows_g, sigma)
-    prec = jax.lax.Precision.HIGH if fast else jax.lax.Precision.HIGHEST
-    y = jnp.einsum(
-        "...gu,uv->...gv", x_g, ops.fir_t, precision=prec,
-        preferred_element_type=f32,
-    )
-    return y + einsum_f32("...gd,du->...gu", s_true, ops.group_out)
+    if y0 is None:
+        y0 = jnp.einsum(
+            "...gu,uv->...gv", x_g, ops.fir_t,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=f32,
+        )
+    return y0 + einsum_f32("...gd,du->...gu", s_true, ops.group_out)
 
 
 @functools.partial(
