@@ -350,8 +350,11 @@ def _dynamic_grouped(
         inj = cat[..., U:]
     else:
         inj = einsum_f32("...gu,ud->...gd", x_g, ops.group_in)
-    s_tail = einsum_f32(
-        "...x,xy->...y", inj.reshape(lead + (G * d,)), ops.toe
+    # bf16x3 toe solve in fast mode — benign application matmul (ops/eq).
+    toe_prec = jax.lax.Precision.HIGH if fast else _HI
+    s_tail = jnp.einsum(
+        "...x,xy->...y", inj.reshape(lead + (G * d,)), ops.toe,
+        precision=toe_prec, preferred_element_type=f32,
     ).reshape(lead + (G, d))                              # s_1..s_G
     e_states = s_tail[..., G - 1, :]
     s_in = jnp.concatenate(
