@@ -43,20 +43,9 @@ _BAND_RANGES = ("16-60 Hz", "60-250 Hz", "250-2k Hz", "2k-4k Hz",
 
 
 def _synth(kind: str, seconds: float = 10.0, fs: int = 44100):
-    t = np.arange(int(seconds * fs)) / fs
-    if kind == "tones":
-        x = (0.5 * np.sin(2 * np.pi * 440 * t)
-             + 0.25 * np.sin(2 * np.pi * 40 * t)
-             + 0.25 * np.sin(2 * np.pi * 9800 * t))
-    elif kind == "sweep":
-        f0, f1 = 20.0, 16000.0
-        phase = 2 * np.pi * f0 * seconds / np.log(f1 / f0) * (
-            np.exp(t / seconds * np.log(f1 / f0)) - 1.0
-        )
-        x = 0.8 * np.sin(phase)
-    else:  # noise
-        x = 0.6 * np.random.default_rng(7).standard_normal(len(t))
-    return (x / np.max(np.abs(x))).astype(np.float32), fs
+    from ..io.signal_io import example_signal
+
+    return example_signal(kind, seconds, fs)
 
 
 _EXAMPLES = {

@@ -48,7 +48,11 @@ def build_parser() -> argparse.ArgumentParser:
         prog="dsp_audio_project_tpu",
         description="TPU audio pipeline: sample-rate conversion + 6-band EQ",
     )
-    p.add_argument("input", help="input WAV path")
+    p.add_argument(
+        "input",
+        help="input WAV/AIFF path, or a built-in source: "
+             "example:tones | example:sweep | example:noise",
+    )
     p.add_argument("output", nargs="?", help="output WAV path")
     p.add_argument("--expand", "-L", type=int, default=1, help="upsampling factor L")
     p.add_argument("--decimate", "-M", type=int, default=1, help="downsampling factor M")
@@ -124,7 +128,20 @@ def main(argv=None) -> int:
                 )
                 return 2
 
-    x, fs = load_signal(args.input, mono=not args.multichannel)
+    if args.input.startswith("example:"):
+        # Built-in example sources — the reference's examples/*.wav browsing
+        # (app.py:123-126): e.g. ``example:tones``, ``example:sweep``.
+        from .io.signal_io import example_signal
+
+        try:
+            x, fs = example_signal(args.input.split(":", 1)[1])
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        if args.multichannel:
+            x = x[None, :]
+    else:
+        x, fs = load_signal(args.input, mono=not args.multichannel)
     if args.window_seconds:
         n_win = int(args.window_seconds * fs)
         length = x.shape[-1]

@@ -96,6 +96,36 @@ def load_signal(
         return np.zeros(shape, dtype=np.float32), _FALLBACK_FS
 
 
+def example_signal(
+    kind: str, seconds: float = 10.0, fs: int = 44100
+) -> Tuple[np.ndarray, int]:
+    """Built-in example signals — the analog of the reference's
+    ``examples/*.wav`` browsing (app.py:123-126; the WAV fixtures were
+    stripped from the mount, so deterministic synthesis substitutes).
+
+    Kinds: 'tones' (40/440/9800 Hz mix), 'sweep' (log 20 Hz - 16 kHz),
+    'noise' (seeded white noise).  Returns (float32 signal peaked at 1, fs).
+    """
+    t = np.arange(int(seconds * fs)) / fs
+    if kind == "tones":
+        x = (0.5 * np.sin(2 * np.pi * 440 * t)
+             + 0.25 * np.sin(2 * np.pi * 40 * t)
+             + 0.25 * np.sin(2 * np.pi * 9800 * t))
+    elif kind == "sweep":
+        f0, f1 = 20.0, 16000.0
+        phase = 2 * np.pi * f0 * seconds / np.log(f1 / f0) * (
+            np.exp(t / seconds * np.log(f1 / f0)) - 1.0
+        )
+        x = 0.8 * np.sin(phase)
+    elif kind == "noise":
+        x = 0.6 * np.random.default_rng(7).standard_normal(len(t))
+    else:
+        raise ValueError(
+            f"unknown example kind {kind!r}; expected tones|sweep|noise"
+        )
+    return (x / np.max(np.abs(x))).astype(np.float32), fs
+
+
 def export_wav(
     samples: np.ndarray,
     fs: int,

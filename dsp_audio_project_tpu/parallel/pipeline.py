@@ -337,6 +337,9 @@ def build_sharded_pipeline(
     return jax.jit(sharded), sp
 
 
+_sharded_cache: dict = {}
+
+
 def run_sharded(
     x: np.ndarray,
     fs: int,
@@ -352,7 +355,15 @@ def run_sharded(
     if x.ndim == 1:
         x = x[None, :]
     c, n = x.shape
-    fn, sp = build_sharded_pipeline(mesh, config, fs, n, c, fused=fused)
+    # One compile per (mesh, config, geometry): repeated calls reuse the
+    # jitted executable (a fresh build per call would retrace every time —
+    # Mesh, PipelineConfig and the ints are all hashable).
+    key = (mesh, config, fs, n, c, fused)
+    hit = _sharded_cache.get(key)
+    if hit is None:
+        hit = build_sharded_pipeline(mesh, config, fs, n, c, fused=fused)
+        _sharded_cache[key] = hit
+    fn, sp = hit
     mesh_block = mesh.shape[BLOCK_AXIS]
     n_padded = sp.n_in_local * mesh_block
     xp = np.zeros((sp.c_pad, n_padded), dtype=np.float32)

@@ -179,3 +179,15 @@ def test_report_main_charts_flag(audio_44k):
     assert "Spectral cascade" not in slim
     assert "Time-domain evolution" not in slim
     assert "Angular spectrum" in slim  # stems/angular always present
+
+
+def test_cli_example_source(tmp_path):
+    """example:<kind> input — the reference's examples/*.wav browsing."""
+    from dsp_audio_project_tpu.cli import main
+
+    out = str(tmp_path / "ex.wav")
+    assert main(["example:tones", out, "-L", "2", "-M", "1",
+                 "-g", "Bass=6"]) == 0
+    y, fs = read_wav(out)
+    assert fs == 88200 and len(y) == 882000
+    assert main(["example:bogus", out]) == 2
