@@ -27,12 +27,17 @@ from .config import (
     SpectrumConfig,
     SRCConfig,
 )
-from .io.signal_io import export_wav, load_signal
+from .io.signal_io import example_signal, export_wav, load_signal
 from .io.wavio import read_wav, write_wav
 from .models.chain import AudioPipeline, PipelineOutputs
 from .models.graph import Chain, Clip, Equalize, Gain, Normalize, Resample, Stage
 from .ops.eq import equalize, equalize_stream
-from .ops.eq_dynamic import equalize_dynamic, equalize_dynamic_frames
+from .ops.eq_dynamic import (
+    build_dynamic_operators,
+    equalize_dynamic,
+    equalize_dynamic_frames,
+    equalize_dynamic_frames_ops,
+)
 from .ops.spectrum import (
     angular_spectrum,
     magnitude_spectrum,
@@ -71,8 +76,11 @@ __all__ = [
     "SRCConfig",
     "angular_spectrum",
     "equalize",
+    "build_dynamic_operators",
     "equalize_dynamic",
     "equalize_dynamic_frames",
+    "equalize_dynamic_frames_ops",
+    "example_signal",
     "equalize_stream",
     "export_wav",
     "load_signal",
