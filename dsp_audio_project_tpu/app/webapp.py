@@ -152,10 +152,22 @@ def main() -> None:  # pragma: no cover - UI glue, needs streamlit
             st.session_state.name = upload.name
             st.session_state.session_id = str(uuid.uuid4())
     else:
-        example = st.sidebar.selectbox("Example", list(_EXAMPLES))
+        # On-disk example browsing (reference app.py:123-126): any WAV/AIFF
+        # in ./examples (or $DSP_EXAMPLES_DIR) is listed alongside the
+        # built-in synthesized kinds.
+        import os
+
+        from ..io.signal_io import list_example_files
+
+        sources = dict(_EXAMPLES)
+        for path in list_example_files():
+            sources[os.path.basename(path)] = (
+                lambda p=path: load_signal(p)
+            )
+        example = st.sidebar.selectbox("Example", list(sources))
         key = f"example:{example}"
         if key != st.session_state.name:
-            x, fs = _EXAMPLES[example]()
+            x, fs = sources[example]()
             st.session_state.signal = x
             st.session_state.fs = fs
             st.session_state.name = key

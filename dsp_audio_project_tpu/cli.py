@@ -50,8 +50,9 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "input",
-        help="input WAV/AIFF path, or a built-in source: "
-             "example:tones | example:sweep | example:noise",
+        nargs="?",
+        help="input WAV/AIFF path, or an example source: example:tones | "
+             "example:sweep | example:noise | example:<file in examples/>",
     )
     p.add_argument("output", nargs="?", help="output WAV path")
     p.add_argument("--expand", "-L", type=int, default=1, help="upsampling factor L")
@@ -92,6 +93,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="shard over a device mesh: C channel-parallel x B time-block "
              "devices (e.g. --mesh 2x4); requires C*B <= len(jax.devices())",
     )
+    p.add_argument(
+        "--examples-dir", metavar="DIR", default=None,
+        help="directory of example audio files for example:<name> sources "
+             "(default: $DSP_EXAMPLES_DIR or ./examples)",
+    )
+    p.add_argument(
+        "--list-examples", action="store_true",
+        help="list available example sources (built-in + on-disk) and exit",
+    )
     return p
 
 
@@ -109,6 +119,25 @@ def _parse_mesh(text: str):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.list_examples:
+        # Example browsing — the reference lists examples/*.wav from disk
+        # (app.py:123-126); built-in synthesized kinds cover the stripped
+        # fixtures.
+        import os
+
+        from .io.signal_io import EXAMPLE_KINDS, list_example_files
+
+        for kind in EXAMPLE_KINDS:
+            print(f"example:{kind}\t(built-in)")
+        for path in list_example_files(args.examples_dir):
+            print(f"example:{os.path.basename(path)}\t({path})")
+        return 0
+
+    if args.input is None:
+        print("error: input is required (or use --list-examples)",
+              file=sys.stderr)
+        return 2
 
     if not args.no_ui_bounds:
         for v, what in ((args.expand, "L"), (args.decimate, "M")):
@@ -129,12 +158,15 @@ def main(argv=None) -> int:
                 return 2
 
     if args.input.startswith("example:"):
-        # Built-in example sources — the reference's examples/*.wav browsing
-        # (app.py:123-126): e.g. ``example:tones``, ``example:sweep``.
-        from .io.signal_io import example_signal
+        # Example sources — the reference's examples/*.wav browsing
+        # (app.py:123-126): built-in kinds (``example:tones``) or on-disk
+        # files from the examples directory (``example:FastCar.wav``).
+        from .io.signal_io import resolve_example
 
         try:
-            x, fs = example_signal(args.input.split(":", 1)[1])
+            x, fs = resolve_example(
+                args.input.split(":", 1)[1], args.examples_dir
+            )
         except ValueError as e:
             print(f"error: {e}", file=sys.stderr)
             return 2

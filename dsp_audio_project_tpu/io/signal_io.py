@@ -126,6 +126,56 @@ def example_signal(
     return (x / np.max(np.abs(x))).astype(np.float32), fs
 
 
+EXAMPLE_KINDS = ("tones", "sweep", "noise")
+_EXAMPLE_EXTS = (".wav", ".aif", ".aiff")
+
+
+def list_example_files(directory: Optional[str] = None) -> list:
+    """Enumerate on-disk example audio files, sorted by name.
+
+    The reference browses ``examples/*.wav`` from disk (app.py:123-126).
+    Search order for the directory: the ``directory`` argument, the
+    ``DSP_EXAMPLES_DIR`` environment variable, then ``./examples`` relative
+    to the current working directory.  Returns ``[]`` when no directory
+    exists — callers fall back to the synthesized ``example_signal`` kinds.
+    """
+    import os
+
+    cand = directory or os.environ.get("DSP_EXAMPLES_DIR") or "examples"
+    if not os.path.isdir(cand):
+        return []
+    return sorted(
+        os.path.join(cand, f)
+        for f in os.listdir(cand)
+        if f.lower().endswith(_EXAMPLE_EXTS)
+    )
+
+
+def resolve_example(
+    name: str, directory: Optional[str] = None
+) -> Tuple[np.ndarray, int]:
+    """Load the example source ``name``: a synthesized kind ('tones' |
+    'sweep' | 'noise') or an on-disk file from the examples directory
+    matched by filename or stem (case-insensitive).
+
+    Raises ValueError when ``name`` matches neither, listing what exists.
+    """
+    import os
+
+    if name in EXAMPLE_KINDS:
+        return example_signal(name)
+    low = name.lower()
+    files = list_example_files(directory)
+    for path in files:
+        base = os.path.basename(path)
+        if low in (base.lower(), os.path.splitext(base)[0].lower()):
+            return load_signal(path)
+    have = list(EXAMPLE_KINDS) + [os.path.basename(p) for p in files]
+    raise ValueError(
+        f"unknown example {name!r}; available: {', '.join(have)}"
+    )
+
+
 def export_wav(
     samples: np.ndarray,
     fs: int,

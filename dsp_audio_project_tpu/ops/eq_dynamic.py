@@ -428,6 +428,11 @@ def equalize_dynamic(
     ``gains_db``: (n_bands,) float array, ordered like cfg.band_centers.
     Matches the static path / golden oracle to f32 rounding (tests gate
     110 dB); ``fast`` trades the output matmul to bf16x3 (~100 dB).
+
+    Semantics vs the static ``equalize`` (see module docstring): gains with
+    |g| <= 0.1 dB become ~1e-6 near-identity filters instead of the
+    reference's exact skip, and the output is ALWAYS clipped to [-1, 1]
+    (the static path returns the input unclipped on all-flat bypass).
     """
     assert block % unroll == 0
     f32 = jnp.float32
@@ -461,6 +466,9 @@ def equalize_dynamic_frames(
     The serving fast path: combine with the shear FIR kernel
     (AudioPipeline.jit_forward_frames_dynamic) for per-request gain
     changes at zero compile cost AND zero device-side lane retiles.
+
+    Same semantics drift as ``equalize_dynamic``: no exact small-gain skip
+    (near-identity filter instead) and the output is always clipped.
     """
     F = frames.shape[-2]
     G = groups_per_block
@@ -532,6 +540,7 @@ def equalize_dynamic_frames_ops(
     """Frame-major EQ apply with prebuilt dynamic operators — the per-batch
     half of the serving split (see build_dynamic_operators).  Matches
     equalize_dynamic_frames(frames, gains, ...) exactly when ``ops`` came
-    from the same gains/geometry.
+    from the same gains/geometry — including its semantics drift vs the
+    static path (no exact small-gain skip; output always clipped).
     """
     return _apply_dynamic_frames(frames, ops, groups_per_block, fast)

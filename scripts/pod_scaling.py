@@ -23,8 +23,41 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# Single-chip reference: bench.py device time per 60 s 44.1 kHz signal.
-T1_PER_60S = 0.233e-3
+# Single-chip reference: bench.py device time per 60 s 44.1 kHz signal,
+# read from the newest BENCH_r*.json at the repo root so the efficiency
+# denominator tracks the measured chain instead of a stale constant.
+_T1_FALLBACK = 0.194e-3  # round-2 measurement (BENCH_r02.json)
+
+
+def t1_per_60s() -> float:
+    import glob
+    import json as _json
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    best = None
+    for path in glob.glob(os.path.join(root, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m:
+            best = max(best or (0, ""), (int(m.group(1)), path))
+    if not best:
+        return _T1_FALLBACK
+    try:
+        with open(best[1]) as fh:
+            parsed = _json.load(fh).get("parsed", {})
+        extra = parsed.get("extra", {})
+        if "src_eq_ms_per_60s_signal" in extra:
+            return float(extra["src_eq_ms_per_60s_signal"]) * 1e-3
+        if str(parsed.get("metric", "")).startswith("src_eq") and (
+            float(parsed.get("value", 0)) > 0
+        ):
+            return 60.0 * 44100.0 / float(parsed["value"])
+    except (OSError, ValueError, KeyError):
+        pass
+    return _T1_FALLBACK
+
+
+T1_PER_60S = t1_per_60s()
 
 
 def main() -> int:

@@ -191,3 +191,38 @@ def test_cli_example_source(tmp_path):
     y, fs = read_wav(out)
     assert fs == 88200 and len(y) == 882000
     assert main(["example:bogus", out]) == 2
+
+
+def test_cli_example_directory(tmp_path, capsys, rng):
+    """On-disk examples/*.wav browsing (reference app.py:123-126): files in
+    the examples dir are listed and loadable as example:<name>."""
+    from dsp_audio_project_tpu.cli import main
+    from dsp_audio_project_tpu.io.signal_io import (
+        list_example_files, resolve_example,
+    )
+
+    exdir = tmp_path / "examples"
+    exdir.mkdir()
+    x = (0.5 * rng.standard_normal(4096)).astype(np.float32)
+    write_wav(str(exdir / "FastCar.wav"), 22050,
+              (x * 32767).astype(np.int16))
+    (exdir / "notes.txt").write_text("not audio")
+
+    files = list_example_files(str(exdir))
+    assert [os.path.basename(p) for p in files] == ["FastCar.wav"]
+    # Stem match, case-insensitive, decodes through load_signal.
+    sig, fs = resolve_example("fastcar", str(exdir))
+    assert fs == 22050 and len(sig) == 4096
+
+    assert main(["--list-examples", "--examples-dir", str(exdir)]) == 0
+    listing = capsys.readouterr().out
+    assert "example:tones" in listing and "FastCar.wav" in listing
+
+    out = str(tmp_path / "out.wav")
+    assert main(["example:FastCar.wav", out,
+                 "--examples-dir", str(exdir)]) == 0
+    assert os.path.exists(out)
+    # Missing dir: built-ins still resolve, unknown names raise.
+    assert resolve_example("tones", str(tmp_path / "missing"))[1] == 44100
+    with pytest.raises(ValueError):
+        resolve_example("FastCar.wav", str(tmp_path / "missing"))
