@@ -1,18 +1,23 @@
-"""Benchmark harness: audio samples/sec/chip for the SRC->EQ chain.
+"""Benchmark harness: audio samples/sec/chip for the SRC->EQ->FFT chain.
 
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": R}
 
-* value        — input samples/second through the full 44.1k->48k polyphase
-                 SRC (L=160/M=147) + 6-band biquad EQ chain on one chip.
+* value        — input samples/second through the declared full chain
+                 (BASELINE.json metric): 44.1k->48k polyphase SRC
+                 (L=160/M=147) + 6-band biquad EQ + magnitude spectra of
+                 x, y AND z (the reference computes all three per render,
+                 app.py:202-205) as ONE jitted program on one chip.
 * vs_baseline  — speedup over the reference implementation's algorithm
                  (zero-stuffed full-rate numpy convolve + sequential scipy
-                 lfilter cascade — the golden oracle) measured on this host's
-                 CPU, which is the only baseline the reference defines
-                 (BASELINE.md: no published numbers).
+                 lfilter cascade + per-render spectra — the golden oracle)
+                 measured on this host's CPU, which is the only baseline the
+                 reference defines (BASELINE.md: no published numbers).
+                 Conservative: the oracle's spectra use np.fft, not the
+                 reference's recursive-Python FFT.
 
-Extra context (SNR vs oracle, stage timings) goes to stderr so stdout stays
-a single machine-readable line.
+Extra context (SRC+EQ-only time, SNR vs oracle, dynamic-serving figures)
+goes to stderr so stdout stays a single machine-readable line.
 """
 from __future__ import annotations
 
@@ -69,6 +74,9 @@ def main() -> None:
     # path when the config/input is outside the fused regime.
     fused = pipe.frames_supported(n)
     fn = pipe.jit_forward_frames() if fused else pipe.jit_forward()
+    # The headline program: the full declared chain incl. the three spectra.
+    fn_full = (pipe.jit_forward_frames_spectra() if fused
+               else pipe.jit_forward_spectra())
     n_out = cfg.src.output_length(n)
     log(f"device: {jax.devices()[0]}  fused_frames={fused}")
 
@@ -100,6 +108,12 @@ def main() -> None:
             return jnp.sum(z)
         return jax.jit(run)
 
+    def build_fn_full(b):
+        def run(v):
+            z, _, (mx, my, mz) = fn_full(v, FS)
+            return jnp.sum(z) + jnp.sum(mx) + jnp.sum(my) + jnp.sum(mz)
+        return jax.jit(run)
+
     t0 = time.perf_counter()
     z, y = fn(jnp.asarray(x), FS)
     z.block_until_ready()
@@ -112,32 +126,72 @@ def main() -> None:
     # Profiler device timeline is the stable ground truth (wall clock through
     # the remote tunnel carries multi-x jitter); the batch-size differential
     # is the fallback when tracing is unavailable.
-    dt = None
+    dt = dt_full = None
+    # Two distinct resident batches: warm on one, profile on the other (the
+    # execution cache keys on (fn, args)); reusing them across the timed
+    # programs keeps host->device traffic down — each fresh batch is an
+    # 85 MB upload, which dominates wall time on a tunneled device.
+    batch_warm = make_batch(8)
+    batch_prof = make_batch(8)
     try:
         from dsp_audio_project_tpu.utils.deviceprof import profile_device_ops
 
         B_prof = 8
         f_prof = build_fn(B_prof)
-        float(f_prof(*make_batch(B_prof)))  # warm
-        total_ms, _ = profile_device_ops(f_prof, *make_batch(B_prof))
+        float(f_prof(*batch_warm))  # warm
+        total_ms, _ = profile_device_ops(f_prof, *batch_prof)
         if total_ms > 0:
             dt = total_ms / 1e3 / B_prof
-            log(f"profiler device time: {dt*1e3:.3f} ms per signal")
+            log(f"profiler device time (src+eq): {dt*1e3:.3f} ms per signal")
+        f_full = build_fn_full(B_prof)
+        float(f_full(*batch_warm))  # warm
+        total_ms, _ = profile_device_ops(f_full, *batch_prof)
+        if total_ms > 0:
+            dt_full = total_ms / 1e3 / B_prof
+            log(f"profiler device time (full chain): {dt_full*1e3:.3f} ms "
+                f"per signal")
     except Exception as e:  # pragma: no cover
         log(f"profiler unavailable ({e})")
     if dt is None:
         dt = measure_batched_differential(build_fn, make_batch, sizes=(2, 6),
                                           reps=2)
-        log(f"batched differential: {dt*1e3:.3f} ms per signal")
+        log(f"batched differential (src+eq): {dt*1e3:.3f} ms per signal")
+    if dt_full is None:
+        dt_full = measure_batched_differential(
+            build_fn_full, make_batch, sizes=(2, 6), reps=2
+        )
+        log(f"batched differential (full): {dt_full*1e3:.3f} ms per signal")
+    dt_full = max(dt_full, dt)  # spectra can't take negative time
     sps = n / dt
-    log(f"tpu chain: {dt*1e3:.3f} ms per {SECONDS:.0f}s-signal "
+    sps_full = n / dt_full
+    log(f"tpu src+eq: {dt*1e3:.3f} ms per {SECONDS:.0f}s-signal "
         f"-> {sps/1e6:.1f} M samples/s/chip")
+    log(f"tpu full chain (src+eq+spectra x/y/z): {dt_full*1e3:.3f} ms per "
+        f"{SECONDS:.0f}s-signal -> {sps_full/1e6:.1f} M samples/s/chip")
     z, y = fn(jnp.asarray(x), FS)
 
     # Accuracy vs oracle (fft engine: identical math to ~1e-13, tractable).
     want, fs_want = pipeline_oracle(x, FS, cfg.src, cfg.eq, engine="fast")
     q = snr_db(want, to_flat(z))
     log(f"output snr vs reference oracle: {q:.1f} dB (gate 60)")
+
+    # Spectrum accuracy: the three per-render magnitude spectra vs the
+    # oracle's (app.py:202-205 semantics — analysis cap then center window).
+    try:
+        from dsp_audio_project_tpu.oracle import resample_oracle, spectrum_oracle
+
+        _, _, (mx, my, mz) = fn_full(jnp.asarray(x), FS)
+        y_want, _ = resample_oracle(x, FS, cfg.src, engine="fast")
+        cap = cfg.spectrum.analysis_limit
+        qs = min(
+            snr_db(spectrum_oracle(x[:cap], FS)[1], np.asarray(mx)),
+            snr_db(spectrum_oracle(y_want[:cap], fs_want)[1], np.asarray(my)),
+            snr_db(spectrum_oracle(want[:cap], fs_want)[1], np.asarray(mz)),
+        )
+        log(f"spectra snr vs reference oracle (min of x/y/z): {qs:.1f} dB "
+            f"(gate 60)")
+    except Exception as e:  # pragma: no cover
+        log(f"spectrum snr check unavailable ({e})")
 
     # Dynamic-gains serving path: gains as traced arrays, operators prebuilt
     # per gain change (the serving split) — the reference's slider model.
@@ -160,21 +214,47 @@ def main() -> None:
 
         B_prof = 8
         f_dyn = build_fn_dyn(B_prof)
-        float(f_dyn(*make_batch(B_prof)))  # warm
-        total_ms, _ = profile_device_ops(f_dyn, *make_batch(B_prof))
+        float(f_dyn(*batch_warm))  # warm
+        total_ms, _ = profile_device_ops(f_dyn, *batch_prof)
         if total_ms > 0:
             dt_dyn = total_ms / 1e3 / B_prof
             log(f"dynamic-gains chain (prebuilt ops): {dt_dyn*1e3:.3f} ms per "
                 f"signal -> {n/dt_dyn/1e6:.1f} M samples/s/chip")
         # Builder cost (runs once per gain change, amortized across batches).
+        # Serving uses the host-float64 builder (gains are concrete values);
+        # the traced in-graph builder remains for jit-input gains.
+        gains_np = np.asarray(gains_arr)
+
+        def f_build_host(g):
+            return pipe.dynamic_eq_operators(g, FS, n, builder="host")
+
+        jax.block_until_ready(f_build_host(gains_np))  # warm the expand jit
+        reps, t0 = 5, time.perf_counter()
+        for r in range(reps):
+            jax.block_until_ready(f_build_host(gains_np + 0.5 * (r + 1)))
+        host_ms = (time.perf_counter() - t0) / reps * 1e3
+        build_dev_ms, _ = profile_device_ops(f_build_host, gains_np + 11.0)
+        log(f"dynamic operator build, host builder (per gain change): "
+            f"{host_ms:.3f} ms wall, {build_dev_ms:.3f} ms device")
+
         def f_build(g):
-            return jax.tree.map(jnp.sum, pipe.dynamic_eq_operators(g, FS, n))
+            return jax.tree.map(jnp.sum, pipe.dynamic_eq_operators(
+                g, FS, n, builder="traced"))
         jax.block_until_ready(f_build(gains_arr))
         build_ms, _ = profile_device_ops(f_build, gains_arr + 1.0)
-        log(f"dynamic operator build (per gain change): {build_ms:.3f} ms")
+        log(f"dynamic operator build, traced builder: {build_ms:.3f} ms "
+            f"device")
+        cyc = 8 * dt * 1e3
+        eff = cyc / (cyc + build_dev_ms) * 100.0
+        log(f"change+batch-8 cycle at host-built ops: {eff:.1f}% of "
+            f"steady-state device throughput")
         zd, _ = fwd_dyn(jnp.asarray(x), dyn_ops, FS)
         qd = snr_db(want, np.asarray(zd).reshape(-1)[:n_out])
         log(f"dynamic-gains output snr vs oracle: {qd:.1f} dB (gate 60)")
+        zdh, _ = fwd_dyn(jnp.asarray(x), f_build_host(gains_np), FS)
+        qdh = snr_db(want, np.asarray(zdh).reshape(-1)[:n_out])
+        log(f"dynamic-gains (host-built ops) snr vs oracle: {qdh:.1f} dB "
+            f"(gate 60)")
     except Exception as e:  # pragma: no cover
         log(f"dynamic path bench unavailable ({e})")
 
@@ -184,17 +264,23 @@ def main() -> None:
     # would take minutes).
     n_ref = 4096
     t0 = time.perf_counter()
-    pipeline_oracle(x[:n_ref], FS, cfg.src, cfg.eq, engine="direct")
+    z_ref, fs_ref = pipeline_oracle(x[:n_ref], FS, cfg.src, cfg.eq,
+                                    engine="direct")
     ref_dt = time.perf_counter() - t0
-    ref_sps = n_ref / ref_dt
-    log(f"reference algorithm (host cpu, {n_ref} samples): {ref_dt*1e3:.1f} ms "
-        f"-> {ref_sps/1e6:.3f} M samples/s")
+    t0 = time.perf_counter()
+    from dsp_audio_project_tpu.oracle import spectrum_oracle as _spec_oracle
+    for sig, r in ((x[:n_ref], FS), (z_ref, fs_ref), (z_ref, fs_ref)):
+        _spec_oracle(sig, r)
+    ref_dt_full = ref_dt + (time.perf_counter() - t0)
+    ref_sps = n_ref / ref_dt_full
+    log(f"reference algorithm (host cpu, {n_ref} samples, incl. spectra): "
+        f"{ref_dt_full*1e3:.1f} ms -> {ref_sps/1e6:.3f} M samples/s")
 
     print(json.dumps({
-        "metric": "src_eq_chain_input_samples_per_sec_per_chip",
-        "value": round(sps, 1),
+        "metric": "src_eq_fft_chain_input_samples_per_sec_per_chip",
+        "value": round(sps_full, 1),
         "unit": "samples/s",
-        "vs_baseline": round(sps / ref_sps, 2),
+        "vs_baseline": round(sps_full / ref_sps, 2),
     }))
 
 

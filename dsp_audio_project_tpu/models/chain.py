@@ -187,6 +187,55 @@ class AudioPipeline:
         """Jitted fused (x, fs) -> (z_frames, y_frames); see frames_supported."""
         return self._jitted_frames
 
+    # ---- full chain: SRC -> EQ -> spectra of x, y, z ---------------------
+    #
+    # The reference's per-render work is the cascade PLUS a magnitude
+    # spectrum of all three signals (app.py:202-205); these forwards fold
+    # the spectra into the same jitted program so the headline benchmark
+    # measures the declared SRC+EQ+FFT chain (BASELINE.json metric).
+
+    def _forward_frames_spectra(self, x: jnp.ndarray, fs: int):
+        """(x, fs) -> (z_frames, y_frames, (mag_x, mag_y, mag_z))."""
+        from ..ops.spectrum import spectrum_mag, spectrum_mag_frames
+
+        zf, yf = self._forward_frames(x, fs)
+        cfg = self.config
+        n_out = cfg.src.output_length(x.shape[-1])
+        scfg = cfg.spectrum
+        mx = spectrum_mag(x, scfg)
+        my = spectrum_mag_frames(yf, n_out, scfg)
+        mz = spectrum_mag_frames(zf, n_out, scfg)
+        return zf, yf, (mx, my, mz)
+
+    def _forward_spectra(self, x: jnp.ndarray, fs: int):
+        """Flat-path full chain: (x, fs) -> (z, y, (mag_x, mag_y, mag_z))."""
+        from ..ops.spectrum import spectrum_mag
+
+        z, y = self._forward(x, fs)
+        scfg = self.config.spectrum
+        return z, y, (spectrum_mag(x, scfg), spectrum_mag(y, scfg),
+                      spectrum_mag(z, scfg))
+
+    def jit_forward_frames_spectra(self):
+        """Jitted fused full chain (x, fs) -> (z_f, y_f, (mx, my, mz)).
+
+        Frequency axes are host constants: ops.spectrum.spectrum_freqs(n, fs)
+        for x and spectrum_freqs(output_length(n), output_rate(fs)) for y/z.
+        """
+        if getattr(self, "_jitted_frames_spectra", None) is None:
+            self._jitted_frames_spectra = jax.jit(
+                self._forward_frames_spectra, static_argnums=(1,)
+            )
+        return self._jitted_frames_spectra
+
+    def jit_forward_spectra(self):
+        """Jitted flat full chain (x, fs) -> (z, y, (mx, my, mz))."""
+        if getattr(self, "_jitted_spectra", None) is None:
+            self._jitted_spectra = jax.jit(
+                self._forward_spectra, static_argnums=(1,)
+            )
+        return self._jitted_spectra
+
     def jit_forward_frames_dynamic(self):
         """Jitted fused (x, gains_db, fs) -> (z_frames, y_frames).
 
@@ -233,14 +282,23 @@ class AudioPipeline:
     # is the per-batch path, structurally identical to the static fused path.
 
     def dynamic_eq_operators(self, gains_db, fs: int, n: int,
-                             groups_per_block: int = 128):
-        """Build traced-gains EQ operators for ``n``-sample inputs.
+                             groups_per_block: int = 128,
+                             builder: str = "auto"):
+        """Build dynamic-gains EQ operators for ``n``-sample inputs.
 
-        One compile serves every gain vector; the result is a DynOperators
-        pytree to pass to jit_forward_frames_dynamic_ops()(x, ops, fs).
+        The result is a DynOperators pytree to pass to
+        jit_forward_frames_dynamic_ops()(x, ops, fs).
+
+        ``builder``: 'host' runs the exact float64 numpy design (the serving
+        path — a request's gains are concrete values); 'traced' runs the
+        in-graph df32 builder (gains may be tracers/device arrays; one
+        compile serves every gain vector); 'auto' picks 'host' for concrete
+        gains and 'traced' under a trace.
         """
         from ..kernels import fir_frames
-        from ..ops.eq_dynamic import build_dynamic_operators
+        from ..ops.eq_dynamic import (
+            build_dynamic_operators, build_dynamic_operators_host,
+        )
         from ..ops.src import make_plan
 
         cfg = self.config
@@ -254,6 +312,15 @@ class AudioPipeline:
             jax.ShapeDtypeStruct((n,), jnp.float32),
         ).shape
         K = -(-shape[-2] // groups_per_block)
+        if builder == "auto":
+            builder = (
+                "traced" if isinstance(gains_db, jax.core.Tracer) else "host"
+            )
+        if builder == "host":
+            return build_dynamic_operators_host(
+                gains_db, fs_out, cfg.eq, unroll=plan.P,
+                groups_per_block=groups_per_block, num_blocks=K,
+            )
         return build_dynamic_operators(
             jnp.asarray(gains_db, jnp.float32), fs_out, cfg.eq,
             unroll=plan.P, groups_per_block=groups_per_block, num_blocks=K,

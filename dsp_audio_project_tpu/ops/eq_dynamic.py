@@ -306,16 +306,23 @@ def _lower_triangle(pows: jnp.ndarray, n: int, d: int) -> jnp.ndarray:
 
     Row-vector convention: vecs_flat @ result accumulates pows[r-v] vecs[v]
     into slot r — the expanded lower-triangular recurrence solve.
+
+    Built from n static slices of one zero-headed power sequence, written
+    directly in the final (v, i, r, j) layout: pure lane-aligned copies.
+    The earlier jnp.take form compiled to a TPU gather (~435 us for the two
+    triangles of the serving geometry); this form is plain data movement at
+    ~the write bandwidth of the table.
     """
     pow_T = jnp.swapaxes(pows, -1, -2)                    # (n, d, d)
-    rr = jnp.arange(n)
-    diff = rr[None, :] - rr[:, None]                      # (v, r) -> r - v
-    tri = jnp.where(
-        (diff >= 0)[:, :, None, None],
-        jnp.take(pow_T, jnp.clip(diff, 0, n - 1), axis=0),
-        0.0,
-    )                                                     # (n, n, d, d)
-    return jnp.transpose(tri, (0, 2, 1, 3)).reshape(n * d, n * d)
+    Q = jnp.concatenate(
+        [jnp.zeros((n - 1, d, d), pows.dtype), pow_T], axis=0
+    )                                                     # (2n-1, d, d)
+    R = jnp.transpose(Q, (1, 0, 2))                       # (d, 2n-1, d)
+    rows = [
+        jax.lax.slice_in_dim(R, n - 1 - v, 2 * n - 1 - v, axis=1)
+        for v in range(n)
+    ]                                                     # each (d, n, d)
+    return jnp.stack(rows, axis=0).reshape(n * d, n * d)
 
 
 def _dynamic_grouped(
@@ -527,6 +534,114 @@ def build_dynamic_operators(
     gains_db = jnp.asarray(gains_db, jnp.float32)
     return _dynamic_operators(
         gains_db, fs, cfg, unroll, groups_per_block, num_blocks
+    )
+
+
+def _host_powers(A, count: int):
+    """[I, A, ..., A^{count-1}] float64 via batched doubling (host numpy).
+
+    log2(count) batched einsums instead of a count-step Python loop — the
+    whole serving builder's host side stays well under a millisecond.
+    """
+    import numpy as np
+
+    d = A.shape[0]
+    out = np.eye(d)[None]
+    while out.shape[0] < count:
+        m = out.shape[0]
+        take = min(m, count - m)
+        head = out[-1] @ A                       # A^m
+        out = np.concatenate(
+            [out, np.einsum("ab,jbc->jac", head, out[:take])]
+        )
+    return out
+
+
+@jax.jit
+def _expand_dyn_operators(group_in, group_out, fir_t, pows_g, A_blk, pk):
+    """Device half of the host builder: materialize the two big triangles.
+
+    Everything else in DynOperators is a few hundred KB of host-built
+    tables; only the (G d, G d) group Toeplitz and the (K d, K d) carry
+    triangle are worth building on device (21 MB of redundant upload
+    otherwise).  One compile serves every gain change.
+    """
+    d = pows_g.shape[-1]
+    toe = _lower_triangle(pows_g, pows_g.shape[0], d)
+    carry_w = None
+    if pk is not None:
+        carry_w = _lower_triangle(pk, pk.shape[0], d)
+    return DynOperators(
+        group_in=group_in, group_out=group_out, fir_t=fir_t, toe=toe,
+        pows_g=pows_g, A_blk=A_blk, carry_w=carry_w,
+    )
+
+
+def build_dynamic_operators_host(
+    gains_db,
+    fs: int,
+    cfg: EQConfig = EQConfig(),
+    unroll: int = 128,
+    groups_per_block: int = 128,
+    num_blocks: Optional[int] = None,
+) -> DynOperators:
+    """Host-float64 DynOperators for CONCRETE gains — the serving builder.
+
+    The traced builder (``build_dynamic_operators``) exists so gains can be
+    jit inputs; a serving request carries concrete slider values
+    (/root/reference/app.py:158-167), so the design can run as exact float64
+    numpy like the static path — no df32 machinery, no device scans.  Per
+    gain change this costs ~0.5 ms of small host matmuls, a ~0.5 MB upload,
+    and one jitted triangle expansion on device (``_expand_dyn_operators``).
+
+    Semantics match ``build_dynamic_operators``: all bands are kept so the
+    pytree shapes — and therefore the apply-side compile — are gain-
+    independent (|g| <= bypass threshold masked to an exact-identity 0 dB
+    band; output always clipped by the apply).  Numerics match the static
+    path: tables are consistent float64 views of the f32-quantized Schur
+    system (design.biquad.block_operators' convention).
+    """
+    import numpy as np
+
+    from ..design.biquad import cascade_state_space, peaking_coeffs, schur_form
+
+    g = np.asarray(gains_db, np.float64).reshape(-1).copy()
+    g[np.abs(g) <= cfg.bypass_threshold_db] = 0.0
+    ceiling = (fs / 2.0) * cfg.nyquist_safety
+    sections = []
+    for (name, fc), gain in zip(cfg.band_centers, g):
+        fc_eff = ceiling if fc >= ceiling else fc
+        sections.append(peaking_coeffs(fc_eff, fs, float(gain), cfg.q))
+    ss = schur_form(cascade_state_space(sections))
+
+    A32 = ss.A.astype(np.float32).astype(np.float64)
+    B32 = ss.B.astype(np.float32).astype(np.float64)
+    C32 = ss.C.astype(np.float32).astype(np.float64)
+    D32 = float(np.float32(ss.D))
+    d = ss.order
+    U, G, K = unroll, groups_per_block, num_blocks
+
+    pu = _host_powers(A32, U + 1)                       # (U+1, d, d)
+    group_in = pu[U - 1 :: -1] @ B32                    # (U, d): A^{U-1-v} B
+    CA_u = np.einsum("a,uab->ub", C32, pu[:U])          # (U, d): C A^u
+    seq = CA_u @ B32                                    # (U,):  C A^u B
+    uu = np.arange(U)
+    idx = uu[:, None] - 1 - uu[None, :]
+    fir = np.where(idx >= 0, seq[np.clip(idx, 0, U - 1)], 0.0)
+    fir = fir + D32 * np.eye(U)
+    pg = _host_powers(pu[U], G + 1)                     # (G+1, d, d): (A^U)^g
+    pk = None
+    if K is not None and 1 < K and K * d <= _CARRY_DENSE_MAX_KD:
+        pk = _host_powers(pg[G], K)                     # (K, d, d)
+
+    f32 = jnp.float32
+    return _expand_dyn_operators(
+        jnp.asarray(group_in, f32),
+        jnp.asarray(CA_u.T, f32),
+        jnp.asarray(fir.T, f32),
+        jnp.asarray(pg[:G], f32),
+        jnp.asarray(pg[G], f32),
+        None if pk is None else jnp.asarray(pk, f32),
     )
 
 

@@ -227,18 +227,24 @@ def _four_step_kernel_n1(n: int) -> int | None:
 def _rfft_kernel_plan(n: int):
     """Route a batched-rfft size to the fastest measured Pallas kernel.
 
-    Returns ('four_step', n1) | ('tall', row_tile) | None.  Measured on
-    v5e (bf16x3 fast mode, |X| fused) vs the XLA butterfly path:
+    Returns ('four_step', n1) | ('tall', (row_tile, n2)) | None.  Measured
+    on v5e (bf16x3 fast mode, |X| fused) vs the XLA butterfly path:
     N=2048 2.1x, N=8192 1.3x (four-step); N=16384 2.3x, N=32768 1.9x
     (tall — both DFT stages on the MXU, rfft.py:_four_step_tall_kernel).
-    Above 32768 the tall kernel's (rt, n2, n1) block exceeds VMEM at
-    useful row tiles; the butterfly path takes over.
+    65536 and 131072 (long spectrogram windows) run the tall kernel at
+    row_tile=1 with a balanced split — one signal's (n2, n1) grid plus the
+    DFT tables is ~5-8 MB of VMEM, where the rt=8 tile of round 2 blew the
+    ~16 MB budget.  Above 131072 the butterfly path takes over.
     """
     n1 = _four_step_kernel_n1(n)
     if n1 is not None:
         return ("four_step", n1)
     if n in (16384, 32768) and (n & (n - 1)) == 0:
-        return ("tall", 16 if n == 16384 else 8)
+        return ("tall", (16 if n == 16384 else 8, 128))
+    if n == 65536:
+        return ("tall", (1, 128))     # n1 = 512
+    if n == 131072:
+        return ("tall", (1, 256))     # n1 = 512, (256,256) row-DFT table
     return None
 
 
@@ -250,8 +256,9 @@ def _rfft_kernel_dispatch(x: jnp.ndarray, plan, magnitude: bool, fast: bool):
     if kind == "four_step":
         return rfft_pallas_four_step(x, n1=arg, magnitude=magnitude,
                                      precision=prec)
-    return rfft_pallas_four_step_tall(x, row_tile=arg, magnitude=magnitude,
-                                      precision=prec)
+    rt, n2 = arg
+    return rfft_pallas_four_step_tall(x, row_tile=rt, n2=n2,
+                                      magnitude=magnitude, precision=prec)
 
 
 def rfft_magnitude(
@@ -268,7 +275,7 @@ def rfft_magnitude(
     plan = _rfft_kernel_plan(x.shape[-1])
     if engine == "pallas" and plan is None:
         raise ValueError(
-            f"engine='pallas' requires a power-of-two N in [256, 32768], "
+            f"engine='pallas' requires a power-of-two N in [256, 131072], "
             f"got {x.shape[-1]}"
         )
     use_kernel = engine == "pallas" or (

@@ -62,6 +62,64 @@ def _windowed_rfft_mag(x: jnp.ndarray, start: int, m: int) -> jnp.ndarray:
     return rfft_magnitude(seg)  # (..., m//2 + 1)
 
 
+def spectrum_segment(n: int, cfg: SpectrumConfig) -> Tuple[int, int, int]:
+    """Static (start, m, n_capped) a spectrum of an n-sample signal uses.
+
+    Applies the analysis cap (first ``analysis_limit`` samples, app.py:202)
+    then the reference's center-segment rule (dsp_core.py:74-82).
+    """
+    if cfg.analysis_limit and n > cfg.analysis_limit:
+        n = cfg.analysis_limit
+    start, m = _segment_bounds(n, cfg.nfft)
+    return start, m, n
+
+
+def spectrum_freqs(
+    n: int, fs: int, cfg: SpectrumConfig = SpectrumConfig()
+) -> np.ndarray:
+    """Host frequency axis matching ``spectrum_mag*`` on an n-sample signal."""
+    _, m, _ = spectrum_segment(n, cfg)
+    return np.fft.rfftfreq(m, d=1.0 / fs)
+
+
+def spectrum_mag(
+    x: jnp.ndarray, cfg: SpectrumConfig = SpectrumConfig()
+) -> jnp.ndarray:
+    """Traceable magnitude spectrum of (..., N) — the device half of
+    ``magnitude_spectrum``, composable inside a larger jitted program
+    (the full-chain forward computes spectra of x, y AND z per render,
+    app.py:202-205)."""
+    start, m, n = spectrum_segment(x.shape[-1], cfg)
+    return _windowed_rfft_mag(x[..., :n], start, m)
+
+
+def spectrum_mag_frames(
+    frames: jnp.ndarray, n_flat: int, cfg: SpectrumConfig = SpectrumConfig()
+) -> jnp.ndarray:
+    """Traceable magnitude spectrum of the flat view of (..., F, P) frames.
+
+    The fused frame-major pipeline (models/chain.py) keeps signals as
+    P-wide frames; the analysis window covers only ~m/P frame rows, so the
+    spectrum slices those rows and flattens a tiny block instead of
+    materializing the full (F, P) -> (F*P,) relayout.  ``n_flat`` is the
+    true sample count the frames represent (trailing pad excluded).
+    Matches ``spectrum_mag`` on the flattened signal exactly.
+    """
+    P = frames.shape[-1]
+    start, m, n = spectrum_segment(n_flat, cfg)
+    avail = min(m, n - start)
+    r0 = start // P
+    r1 = -(-(start + avail) // P)
+    rows = frames[..., r0:r1, :]
+    flat = rows.reshape(rows.shape[:-2] + ((r1 - r0) * P,))
+    off = start - r0 * P
+    seg = flat[..., off : off + avail]
+    if avail < m:
+        seg = jnp.pad(seg, [(0, 0)] * (seg.ndim - 1) + [(0, m - avail)])
+    seg = seg.astype(jnp.float32) * jnp.asarray(_hann(m))
+    return rfft_magnitude(seg)
+
+
 def magnitude_spectrum(
     x: jnp.ndarray, fs: int, cfg: SpectrumConfig = SpectrumConfig()
 ) -> Tuple[np.ndarray, jnp.ndarray]:
@@ -73,11 +131,8 @@ def magnitude_spectrum(
     stages is pathological on remote TPU backends.
     """
     n = x.shape[-1]
-    if cfg.analysis_limit and n > cfg.analysis_limit:
-        x = x[..., : cfg.analysis_limit]
-        n = cfg.analysis_limit
-    start, m = _segment_bounds(n, cfg.nfft)
-    mag = _windowed_rfft_mag(x, start, m)
+    start, m, n_cap = spectrum_segment(n, cfg)
+    mag = _windowed_rfft_mag(x[..., :n_cap], start, m)
     freqs = np.fft.rfftfreq(m, d=1.0 / fs)
     return freqs, mag
 

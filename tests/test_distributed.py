@@ -18,6 +18,9 @@ pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
 import jax
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.environ["REPO"], "tests", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.distributed.initialize(
     coordinator_address=f"localhost:{port}", num_processes=nproc, process_id=pid)
 sys.path.insert(0, os.environ["REPO"])
@@ -60,26 +63,80 @@ if pid == 0:
 """
 
 
-@pytest.mark.skipif(
-    os.environ.get("SKIP_DISTRIBUTED") == "1", reason="disabled"
-)
-def test_two_process_pipeline(tmp_path):
-    port = "12655"
+# 4-process variant: 4 procs x 2 virtual devices = 8 global devices on a
+# (2, 4) mesh — the CHANNEL axis spans host groups (channel 0 on procs 0-1,
+# channel 1 on procs 2-3) while the block axis carries the halo/carry
+# collectives across process boundaries (VERDICT round-2 item 8).
+_WORKER4 = r"""
+import os, sys
+import numpy as np
+pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.environ["REPO"], "tests", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.distributed.initialize(
+    coordinator_address=f"localhost:{port}", num_processes=nproc, process_id=pid)
+sys.path.insert(0, os.environ["REPO"])
+from dsp_audio_project_tpu import EQConfig, PipelineConfig, SRCConfig
+from dsp_audio_project_tpu.config import KernelConfig
+from dsp_audio_project_tpu.parallel.distributed import multihost_mesh
+from dsp_audio_project_tpu.parallel import pipeline as pp
+from dsp_audio_project_tpu.oracle import pipeline_oracle, snr_db
+from jax.sharding import NamedSharding, PartitionSpec as P
+import jax.numpy as jnp
+from jax.experimental import multihost_utils
+
+mesh = multihost_mesh(channel_hosts=2)
+assert mesh.devices.shape == (2, 4), mesh.devices.shape
+
+cfg = PipelineConfig(src=SRCConfig(L=3, M=2),
+                     eq=EQConfig.from_gains({"Bass": 6, "High Mids": -4}),
+                     kernels=KernelConfig(iir_block=128))
+fs, n, channels = 44100, 16384, 2
+rng = np.random.default_rng(7)
+x = (rng.standard_normal((channels, n)) * 0.5).astype(np.float32)
+
+fn, sp = pp.build_sharded_pipeline(mesh, cfg, fs, n, channels)
+n_padded = sp.n_in_local * mesh.shape["block"]
+xp = np.zeros((channels, n_padded), dtype=np.float32)
+xp[:, :n] = x
+sharding = NamedSharding(mesh, P("channel", "block"))
+def cb(idx):
+    return xp[idx]
+xd = jax.make_array_from_callback((channels, n_padded), sharding, cb)
+z, y = fn(xd)
+z_local = np.asarray(multihost_utils.process_allgather(z, tiled=True))
+if pid == 0:
+    qs = []
+    for c in range(channels):
+        want, _ = pipeline_oracle(x[c], fs, cfg.src, cfg.eq)
+        qs.append(snr_db(want, z_local[c][: sp.n_out]))
+    q = min(qs)
+    assert q > 60.0, f"snr {qs}"
+    print(f"DISTRIBUTED_OK snr={q:.1f}")
+"""
+
+
+def _run_cluster(tmp_path, worker_src: str, nproc: int, port: str,
+                 timeout: float):
     env = dict(os.environ, REPO=os.path.dirname(os.path.dirname(__file__)))
     env.pop("JAX_PLATFORMS", None)
     script = tmp_path / "worker.py"
-    script.write_text(_WORKER)
+    script.write_text(worker_src)
     procs = [
         subprocess.Popen(
-            [sys.executable, str(script), str(i), "2", port],
+            [sys.executable, str(script), str(i), str(nproc), port],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         )
-        for i in range(2)
+        for i in range(nproc)
     ]
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=420)
+            out, _ = p.communicate(timeout=timeout)
             outs.append(out.decode())
     except subprocess.TimeoutExpired:
         for p in procs:
@@ -91,3 +148,17 @@ def test_two_process_pipeline(tmp_path):
                 break
             pytest.skip(f"distributed backend unavailable: {out[-2000:]}")
     assert any("DISTRIBUTED_OK" in o for o in outs), outs
+
+
+@pytest.mark.skipif(
+    os.environ.get("SKIP_DISTRIBUTED") == "1", reason="disabled"
+)
+def test_two_process_pipeline(tmp_path):
+    _run_cluster(tmp_path, _WORKER, 2, "12655", 420)
+
+
+@pytest.mark.skipif(
+    os.environ.get("SKIP_DISTRIBUTED") == "1", reason="disabled"
+)
+def test_four_process_channels_across_hosts(tmp_path):
+    _run_cluster(tmp_path, _WORKER4, 4, "12675", 600)

@@ -169,9 +169,116 @@ def test_pipeline_dynamic_ops_matches_inline():
     pipe = AudioPipeline(cfg)
     gains = jnp.asarray((5.0, 0.0, -7.0, 2.0, 0.0, 9.0))
     z_inline, _ = pipe.jit_forward_frames_dynamic()(jnp.asarray(x), gains, fs)
-    ops = pipe.dynamic_eq_operators(gains, fs, len(x))
+    # builder='traced' pins the df32 in-graph builder: identical algebra to
+    # the inline path, so the match is exact to accumulation order (~140 dB).
+    # The default 'auto' picks the host-float64 builder for concrete gains —
+    # a different (Schur) realization, equal only to f32 rounding; it gets
+    # its own oracle-level test below.
+    ops = pipe.dynamic_eq_operators(gains, fs, len(x), builder="traced")
     z_split, _ = pipe.jit_forward_frames_dynamic_ops()(jnp.asarray(x), ops, fs)
     n_out = cfg.src.output_length(len(x))
     a = np.asarray(z_inline).reshape(-1)[:n_out]
     b = np.asarray(z_split).reshape(-1)[:n_out]
     assert snr_db(a, b) > 140.0
+
+
+def test_lower_triangle_matches_reference():
+    """Slice-stack block-Toeplitz == the direct numpy construction."""
+    from dsp_audio_project_tpu.ops.eq_dynamic import _lower_triangle
+
+    rng = np.random.default_rng(5)
+    n, d = 7, 4
+    pows = rng.standard_normal((n, d, d)).astype(np.float32)
+    got = np.asarray(_lower_triangle(jnp.asarray(pows), n, d))
+    want = np.zeros((n * d, n * d), np.float32)
+    for v in range(n):
+        for r in range(v, n):
+            want[v * d:(v + 1) * d, r * d:(r + 1) * d] = pows[r - v].T
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("gains", GAIN_SETS)
+def test_host_builder_matches_oracle(gains):
+    """Host-float64 serving builder + frames apply vs the golden oracle."""
+    from dsp_audio_project_tpu.ops.eq_dynamic import (
+        build_dynamic_operators_host,
+        equalize_dynamic_frames_ops,
+    )
+
+    fs = 48000
+    P, G = 160, 64
+    F = 301                                   # K = 5: exercises the carry
+    x = make_test_signal(F * P, fs, seed=29)
+    frames = jnp.asarray(x.reshape(F, P))
+    K = -(-F // G)
+    ops = build_dynamic_operators_host(
+        gains, fs, EQConfig(), unroll=P, groups_per_block=G, num_blocks=K
+    )
+    assert ops.carry_w is not None and ops.carry_w.shape[0] == K * 12
+    got = np.asarray(equalize_dynamic_frames_ops(frames, ops,
+                                                 groups_per_block=G))
+    names = [n for n, _ in EQConfig().band_centers]
+    cfg_g = EQConfig.from_gains(dict(zip(names, gains)))
+    want = equalize_oracle(x, fs, cfg_g)
+    # The host builder masks sub-threshold gains to exact 0 dB (identity),
+    # like the traced builder; always-clip matches the oracle's clip.
+    # Oracle gate ~ the static path's own f32 rounding floor (~109 dB at
+    # this geometry); the sharp gate is vs the static path below, which
+    # uses the same Schur realization + quantization (match to
+    # accumulation order).
+    q = snr_db(want, got.reshape(-1))
+    assert q > 100.0, f"gains={gains}: {q:.1f} dB"
+    stat = np.asarray(equalize(jnp.asarray(x), fs, cfg_g, block=G * P,
+                               unroll=P))
+    q_stat = snr_db(stat, got.reshape(-1))
+    assert q_stat > 140.0, f"gains={gains}: {q_stat:.1f} dB vs static"
+
+
+def test_host_builder_pytree_compatible_with_traced():
+    """Host and traced builders emit structurally identical pytrees, so ONE
+    apply-side compile serves both (the serving split's contract)."""
+    from dsp_audio_project_tpu.ops.eq_dynamic import (
+        build_dynamic_operators,
+        build_dynamic_operators_host,
+    )
+
+    fs = 48000
+    P, G, K = 160, 128, 3
+    gains = (6.0, -3.0, 0.0, 12.0, -15.0, 4.0)
+    a = build_dynamic_operators_host(
+        gains, fs, EQConfig(), unroll=P, groups_per_block=G, num_blocks=K
+    )
+    b = build_dynamic_operators(
+        jnp.asarray(gains), fs, EQConfig(),
+        unroll=P, groups_per_block=G, num_blocks=K,
+    )
+    la, ta = jax.tree_util.tree_flatten(a)
+    lb, tb = jax.tree_util.tree_flatten(b)
+    assert ta == tb
+    assert [(x.shape, x.dtype) for x in la] == [(x.shape, x.dtype) for x in lb]
+
+
+def test_pipeline_host_builder_matches_oracle():
+    """AudioPipeline serving split with the default (host) builder."""
+    from dsp_audio_project_tpu import AudioPipeline, PipelineConfig, SRCConfig
+    from dsp_audio_project_tpu.config import KernelConfig
+    from dsp_audio_project_tpu.oracle import pipeline_oracle
+
+    fs = 44100
+    x = make_test_signal(30000, fs, seed=31)
+    src = SRCConfig(L=160, M=147)
+    cfg = PipelineConfig(
+        src=src, eq=EQConfig(), kernels=KernelConfig(interpret=True),
+    )
+    pipe = AudioPipeline(cfg)
+    gains = (5.0, 0.0, -7.0, 2.0, 0.0, 9.0)
+    ops = pipe.dynamic_eq_operators(np.asarray(gains), fs, len(x))
+    z, _ = pipe.jit_forward_frames_dynamic_ops()(jnp.asarray(x), ops, fs)
+    n_out = src.output_length(len(x))
+    names = [n for n, _ in EQConfig().band_centers]
+    want, _ = pipeline_oracle(
+        x, fs, src, EQConfig.from_gains(dict(zip(names, gains))),
+        engine="fast",
+    )
+    q = snr_db(want, np.asarray(z).reshape(-1)[:n_out])
+    assert q > 95.0, f"{q:.1f} dB"

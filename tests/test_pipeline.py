@@ -206,3 +206,44 @@ def test_fused_frames_dynamic_matches_static(audio_44k):
     n0 = fwd._cache_size()
     fwd(jnp.asarray(x), g.at[0].add(-9.0), fs)
     assert fwd._cache_size() == n0
+
+
+def test_full_chain_spectra_forwards(audio_44k):
+    """jit_forward_frames_spectra / jit_forward_spectra: the benchmark's
+    one-program SRC+EQ+FFT chain matches the per-stage APIs and the oracle
+    (app.py:202-205 computes spectra of x, y AND z per render)."""
+    from dsp_audio_project_tpu.config import KernelConfig
+    from dsp_audio_project_tpu.ops.spectrum import spectrum_freqs
+
+    x, fs = audio_44k
+    cfg = PipelineConfig(src=SRCConfig(L=160, M=147),
+                         eq=EQConfig.from_gains(GAINS),
+                         kernels=KernelConfig(interpret=True))
+    pipe = AudioPipeline(cfg)
+    n_out = cfg.src.output_length(len(x))
+    fs_out = cfg.src.output_rate(fs)
+
+    zf, yf, (mx, my, mz) = pipe.jit_forward_frames_spectra()(
+        jnp.asarray(x), fs
+    )
+    z2, y2, (mx2, my2, mz2) = pipe.jit_forward_spectra()(jnp.asarray(x), fs)
+
+    # Fused and flat full-chain programs agree.
+    z_flat = np.asarray(zf).reshape(-1)[:n_out]
+    assert snr_db(np.asarray(z2), z_flat) > 110.0
+    np.testing.assert_allclose(np.asarray(mx), np.asarray(mx2), rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(my), np.asarray(my2), rtol=1e-3,
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(mz), np.asarray(mz2), rtol=1e-3,
+                               atol=1e-3)
+
+    # And the spectra match the reference oracle's per-render math.
+    cap = cfg.spectrum.analysis_limit
+    want_z, _ = pipeline_oracle(x, fs, cfg.src, cfg.eq, engine="fast")
+    _, want_mx = spectrum_oracle(x[:cap], fs)
+    _, want_mz = spectrum_oracle(want_z[:cap], fs_out)
+    assert snr_db(want_mx, np.asarray(mx)) > 60.0
+    assert snr_db(want_mz, np.asarray(mz)) > 60.0
+    assert spectrum_freqs(len(x), fs).shape == np.asarray(mx).shape
+    assert spectrum_freqs(n_out, fs_out).shape == np.asarray(mz).shape

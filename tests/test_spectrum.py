@@ -103,3 +103,50 @@ def test_stft_planes_matches_stft(rng):
     assert p.shape == want.shape[:-2] + (2,) + want.shape[-2:]
     got = p[..., 0, :, :] + 1j * p[..., 1, :, :]
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("n_flat", [1500, 3000, 2048, 50000, 130000])
+def test_spectrum_mag_frames_matches_flat(n_flat, rng):
+    """Frame-sliced spectrum == spectrum of the flat view (all segment
+    regimes: pad-to-pow2, short-tail pad corner, center window, analysis
+    cap)."""
+    from dsp_audio_project_tpu.ops.spectrum import (
+        spectrum_mag, spectrum_mag_frames,
+    )
+
+    P = 160
+    x = rng.standard_normal(n_flat).astype(np.float32)
+    F = -(-n_flat // P)
+    frames = jnp.asarray(
+        np.pad(x, (0, F * P - n_flat)).reshape(F, P)
+    )
+    want = np.asarray(spectrum_mag(jnp.asarray(x)))
+    got = np.asarray(spectrum_mag_frames(frames, n_flat))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_spectrum_mag_frames_batched(rng):
+    from dsp_audio_project_tpu.ops.spectrum import (
+        spectrum_mag, spectrum_mag_frames,
+    )
+
+    P, n_flat, B = 160, 20000, 3
+    xs = rng.standard_normal((B, n_flat)).astype(np.float32)
+    F = -(-n_flat // P)
+    frames = jnp.asarray(
+        np.pad(xs, ((0, 0), (0, F * P - n_flat))).reshape(B, F, P)
+    )
+    want = np.asarray(spectrum_mag(jnp.asarray(xs)))
+    got = np.asarray(spectrum_mag_frames(frames, n_flat))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_spectrum_freqs_matches_magnitude_spectrum(rng):
+    from dsp_audio_project_tpu.ops.spectrum import spectrum_freqs
+
+    fs = 44100
+    for n in (1000, 5000, 130000):
+        x = rng.standard_normal(n).astype(np.float32)
+        fw, _ = magnitude_spectrum(jnp.asarray(x), fs)
+        np.testing.assert_allclose(spectrum_freqs(n, fs), fw)
