@@ -47,7 +47,7 @@ from .ops.spectrum import (
     stft_planes,
 )
 from .ops.src import resample
-from .streaming import StreamProcessor, StreamState
+from .streaming import ShardedStreamProcessor, StreamProcessor, StreamState
 
 __version__ = "0.1.0"
 
@@ -92,6 +92,7 @@ __all__ = [
     "stft_planes",
     "spectrum_db",
     "stft",
+    "ShardedStreamProcessor",
     "StreamProcessor",
     "StreamState",
     "write_wav",

@@ -307,22 +307,24 @@ def _lower_triangle(pows: jnp.ndarray, n: int, d: int) -> jnp.ndarray:
     Row-vector convention: vecs_flat @ result accumulates pows[r-v] vecs[v]
     into slot r — the expanded lower-triangular recurrence solve.
 
-    Built from n static slices of one zero-headed power sequence, written
-    directly in the final (v, i, r, j) layout: pure lane-aligned copies.
-    The earlier jnp.take form compiled to a TPU gather (~435 us for the two
-    triangles of the serving geometry); this form is plain data movement at
-    ~the write bandwidth of the table.
+    Construction: the tile-rotation trick.  Row group i holds, for every v,
+    the band vector band_i[(r-v)*d + j] = pows[r-v][j, i] — a rotation of
+    one zero-extended (2 n d)-vector by v*d.  Tiling that vector with row
+    stride 2 n d - d realizes ALL n rotations as one contiguous reshape
+    (f = v*stride + m  =>  f mod 2nd = m - v*d), so the whole triangle is
+    plain lane-aligned copies plus one leading-dim transpose.  The earlier
+    jnp.take form compiled to a TPU gather (~435 us for the two serving
+    triangles); the per-v slice-stack form wrote (d, n, d) slabs at a
+    12-lane minor — ~10x write amplification.
     """
-    pow_T = jnp.swapaxes(pows, -1, -2)                    # (n, d, d)
-    Q = jnp.concatenate(
-        [jnp.zeros((n - 1, d, d), pows.dtype), pow_T], axis=0
-    )                                                     # (2n-1, d, d)
-    R = jnp.transpose(Q, (1, 0, 2))                       # (d, 2n-1, d)
-    rows = [
-        jax.lax.slice_in_dim(R, n - 1 - v, 2 * n - 1 - v, axis=1)
-        for v in range(n)
-    ]                                                     # each (d, n, d)
-    return jnp.stack(rows, axis=0).reshape(n * d, n * d)
+    nd = n * d
+    # band[i, k*d + j] = pows[k][j, i]
+    band = jnp.transpose(pows, (2, 0, 1)).reshape(d, nd)
+    q = jnp.concatenate([band, jnp.zeros_like(band)], axis=1)   # (d, 2nd)
+    stride = 2 * nd - d
+    b = jnp.tile(q, (1, n))[:, : n * stride].reshape(d, n, stride)
+    t = b[:, :, :nd]                            # [i, v, (r, j)] = pows[r-v][j, i]
+    return jnp.transpose(t, (1, 0, 2)).reshape(nd, nd)
 
 
 def _dynamic_grouped(

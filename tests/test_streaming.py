@@ -103,3 +103,153 @@ def test_stream_bypass():
     cfg = PipelineConfig()
     got = _run_stream(x, fs, cfg, [2500, 2500])
     np.testing.assert_array_equal(got, x)
+
+
+# ---- sharded streaming: chunk x shard invariance (BASELINE config 5) ----
+
+def _sharded_cfg(L, M, iir_block=1024):
+    return PipelineConfig(
+        src=SRCConfig(L=L, M=M),
+        eq=EQConfig.from_gains({"Bass": 6, "High Mids": -4}),
+        kernels=KernelConfig(iir_block=iir_block),
+    )
+
+
+def _mesh(mc, mb):
+    from dsp_audio_project_tpu.config import MeshConfig
+    from dsp_audio_project_tpu.parallel.mesh import build_mesh
+
+    return build_mesh(MeshConfig(channel_devices=mc, block_devices=mb))
+
+
+def _stream_through(sp, x, chunking):
+    outs, pos = [], 0
+    n = x.shape[-1]
+    for size in chunking:
+        take = min(size, n - pos)
+        if take <= 0:
+            break
+        outs.append(sp.process(x[:, pos : pos + take]))
+        pos += take
+    assert pos == n, "chunking must cover the signal"
+    outs.append(sp.flush())
+    return np.concatenate(outs, axis=1)
+
+
+@pytest.mark.parametrize("mc,mb", [(1, 4), (2, 2), (4, 1), (1, 8)])
+@pytest.mark.parametrize("L,M", [(3, 2), (160, 147)])
+def test_sharded_stream_chunk_shard_invariance(L, M, mc, mb):
+    """Any chunking x any mesh == the one-shot unsharded chain (>=110 dB)."""
+    import jax.numpy as jnp
+
+    from dsp_audio_project_tpu import AudioPipeline
+    from dsp_audio_project_tpu.streaming import ShardedStreamProcessor
+
+    fs, C, n = 44100, 2, 50000
+    x = np.stack([make_test_signal(n, fs, seed=i) for i in range(C)])
+    cfg = _sharded_cfg(L, M)
+    z_ref = np.asarray(AudioPipeline(cfg).jit_forward()(jnp.asarray(x), fs)[0])
+
+    sp = ShardedStreamProcessor(cfg, fs, _mesh(mc, mb), C)
+    z = _stream_through(sp, x, [977, 3000, 16000, 9999, n])
+    assert z.shape == z_ref.shape
+    q = min(snr_db(z_ref[c], z[c]) for c in range(C))
+    assert q > 110.0, f"mesh {mc}x{mb}: {q:.1f} dB"
+
+
+def test_sharded_stream_chunking_invariance():
+    """Different chunkings through the same mesh agree bit-for-bit (one
+    compiled super-step executable; chunk boundaries only move host
+    buffering)."""
+    from dsp_audio_project_tpu.streaming import ShardedStreamProcessor
+
+    fs, C, n = 44100, 2, 40000
+    x = np.stack([make_test_signal(n, fs, seed=7 + i) for i in range(C)])
+    cfg = _sharded_cfg(160, 147)
+    mesh = _mesh(1, 4)
+    z1 = _stream_through(ShardedStreamProcessor(cfg, fs, mesh, C), x, [n])
+    z2 = _stream_through(
+        ShardedStreamProcessor(cfg, fs, mesh, C), x, [1, 499, 12000, n]
+    )
+    np.testing.assert_array_equal(z1, z2)
+
+
+def test_sharded_stream_checkpoint_resume():
+    """state_bytes/resume mid-stream: the resumed stream continues exactly."""
+    from dsp_audio_project_tpu.streaming import ShardedStreamProcessor
+
+    fs, C, n = 44100, 2, 45000
+    x = np.stack([make_test_signal(n, fs, seed=11 + i) for i in range(C)])
+    cfg = _sharded_cfg(160, 147)
+    mesh = _mesh(2, 2)
+
+    full = _stream_through(
+        ShardedStreamProcessor(cfg, fs, mesh, C), x, [20000, n]
+    )
+    sp1 = ShardedStreamProcessor(cfg, fs, mesh, C)
+    part1 = sp1.process(x[:, :20000])
+    blob = sp1.state_bytes()
+    sp2 = ShardedStreamProcessor.resume(cfg, mesh, C, blob)
+    part2 = np.concatenate(
+        [sp2.process(x[:, 20000:]), sp2.flush()], axis=1
+    )
+    got = np.concatenate([part1, part2], axis=1)
+    np.testing.assert_array_equal(full, got)
+
+
+def test_sharded_stream_short_signal():
+    """Stream shorter than the filter: the short-signal 'same' geometry
+    falls back to the one-shot unsharded path at flush."""
+    import jax.numpy as jnp
+
+    from dsp_audio_project_tpu.streaming import ShardedStreamProcessor
+
+    fs, C = 44100, 2
+    n = 30  # 30 * 160 < 6401 taps
+    x = np.stack([make_test_signal(n, fs, seed=3 + i) for i in range(C)])
+    cfg = _sharded_cfg(160, 147)
+    sp = ShardedStreamProcessor(cfg, fs, _mesh(1, 4), C)
+    z = np.concatenate([sp.process(x), sp.flush()], axis=1)
+    want = np.stack([
+        pipeline_oracle(x[c], fs, cfg.src, cfg.eq, engine="fast")[0]
+        for c in range(C)
+    ])
+    assert z.shape == want.shape
+    assert min(snr_db(want[c], z[c]) for c in range(C)) > 60.0
+
+
+def test_sharded_stream_bypass_paths():
+    """SRC-bypass (EQ only) and EQ-bypass (SRC only, unclipped) streams."""
+    import jax.numpy as jnp
+
+    from dsp_audio_project_tpu import AudioPipeline
+    from dsp_audio_project_tpu.streaming import ShardedStreamProcessor
+
+    fs, C, n = 44100, 2, 30000
+    x = np.stack([make_test_signal(n, fs, seed=21 + i) for i in range(C)])
+    mesh = _mesh(1, 4)
+
+    cfg_eq = PipelineConfig(
+        src=SRCConfig(L=1, M=1),
+        eq=EQConfig.from_gains({"Bass": 6, "Presence": -9}),
+        kernels=KernelConfig(iir_block=1024),
+    )
+    z_ref = np.asarray(
+        AudioPipeline(cfg_eq).jit_forward()(jnp.asarray(x), fs)[0]
+    )
+    z = _stream_through(
+        ShardedStreamProcessor(cfg_eq, fs, mesh, C), x, [7000, n]
+    )
+    assert min(snr_db(z_ref[c], z[c]) for c in range(C)) > 110.0
+
+    cfg_src = PipelineConfig(
+        src=SRCConfig(L=160, M=147), eq=EQConfig(),
+        kernels=KernelConfig(iir_block=1024),
+    )
+    z_ref = np.asarray(
+        AudioPipeline(cfg_src).jit_forward()(jnp.asarray(x), fs)[0]
+    )
+    z = _stream_through(
+        ShardedStreamProcessor(cfg_src, fs, mesh, C), x, [12345, n]
+    )
+    assert min(snr_db(z_ref[c], z[c]) for c in range(C)) > 110.0
