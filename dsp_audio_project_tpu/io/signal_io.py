@@ -18,7 +18,7 @@ _PEAK_GUARD = 1e-6
 
 
 def _read_auto(src) -> Tuple[np.ndarray, int]:
-    """Container dispatch by magic: RIFF/WAVE or FORM/AIFF."""
+    """Container dispatch by magic: RIFF/WAVE, FORM/AIFF, or fLaC."""
     if isinstance(src, str):
         with open(src, "rb") as fh:
             magic = fh.read(4)
@@ -31,6 +31,10 @@ def _read_auto(src) -> Tuple[np.ndarray, int]:
         from .aiffio import read_aiff
 
         return read_aiff(src)
+    if magic == b"fLaC":
+        from .flacio import read_flac
+
+        return read_flac(src)
     return read_wav(src)
 
 
@@ -55,8 +59,9 @@ def load_signal(
 
     ``engine``: 'auto' decodes through the native C++ codec when its library
     is available (bit-matching the numpy path; tests/test_native.py), 'numpy'
-    forces the pure-Python codec.  Containers: RIFF/WAVE and FORM/AIFF,
-    sniffed by magic (the reference's libsndfile loader accepts both).
+    forces the pure-Python codec.  Containers: RIFF/WAVE, FORM/AIFF, and
+    FLAC, sniffed by magic (the reference's libsndfile loader accepts all
+    three — dsp_core.py:20).
     """
     try:
         if engine == "auto":

@@ -94,6 +94,48 @@ def class_supported(plan: PolyphasePlan) -> bool:
     return plan.s >= 8 and plan.W <= 128 * plan.s
 
 
+# ---- flat-output variant ---------------------------------------------------
+#
+# The frames layout (..., F, 160) costs every downstream op a 160->256 lane
+# pad (STATUS round-2 headroom #1).  This variant emits the FLAT signal
+# directly, 128-lane aligned, at ~zero extra kernel cost via two facts:
+#
+#   * the MXU already pads the output dim 160 -> 256, so shifting a class's
+#     bank COLUMNS by its flat lane offset w(rho) = (160*rho) mod 128
+#     (always in {0, 32, 64, 96}, and w + 160 <= 256) is free — the matmul
+#     lands the class's outputs exactly lane-aligned;
+#   * flat positions of class rho cover lane-groups [g(rho), g(rho)+2) with
+#     g(rho) = (160*rho) >> 7, and a CLASS_GROUP of 8 consecutive classes
+#     tiles exactly 10 groups (4 classes x 160 = 5 x 128), so per grid step
+#     the 8 shifted (Kp, 256) results accumulate into one (Kp, 1280) block
+#     at static 128-aligned offsets — plain VPU adds, no shuffles, and the
+#     output array IS the flat signal: out[b, k, rho*160 + p].
+
+
+@functools.lru_cache(maxsize=None)
+def _class_banks_flat(plan: PolyphasePlan, w0: int) -> np.ndarray:
+    """(128, nc*128, 256) banks with both rotations folded in:
+    rows shifted by the input offset o(rho), columns by (160*rho) mod 128."""
+    nc, _, _, _, o = _class_geometry(plan.s, plan.W, w0)
+    P = plan.P
+    wb = 256 if P > 128 else 128
+    banks = np.zeros((NUM_CLASSES, nc * 128, wb), np.float32)
+    for r in range(NUM_CLASSES):
+        wout = (P * r) % 128
+        banks[r, o[r] : o[r] + plan.W, wout : wout + P] = plan.G
+    return banks
+
+
+@functools.lru_cache(maxsize=None)
+def _class_banks_flat_split(plan: PolyphasePlan, w0: int) -> np.ndarray:
+    import ml_dtypes
+
+    b = _class_banks_flat(plan, w0)
+    bh = b.astype(ml_dtypes.bfloat16)
+    bl = (b - bh.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    return np.stack([bh, bl], axis=1)
+
+
 CLASS_GROUP = 8  # classes per grid step (Mosaic sublane-dim block minimum)
 
 
@@ -128,6 +170,162 @@ def _class_kernel(m_ref, d_ref, *refs, nc, Kp, P, precision):
                 )
             acc = term if acc is None else acc + term
         out_ref[0, :, j, :] = acc
+
+
+def class_flat_supported(plan: PolyphasePlan) -> bool:
+    """Flat emission needs every class's 256-wide MXU result to stay
+    lane-aligned inside the class-group block (see the section comment)."""
+    import math
+
+    P = plan.P
+    if not class_supported(plan):
+        return False
+    if P == 128:
+        return True
+    return P % 16 == 0 and 128 < P <= 128 + math.gcd(P, 128)
+
+
+def _class_kernel_flat(m_ref, d_ref, *refs, nc, Kp, P, Wb, precision):
+    """One grid step: CLASS_GROUP classes assembled into one flat block.
+
+    Each class's matmul output (Kp, Wb) is already shifted to its flat lane
+    offset (column-rotated bank); the 8 results accumulate into the
+    (Kp, CLASS_GROUP*P) block at static 128-aligned offsets — overlap lanes
+    are zero in exactly one operand, so add == concat.
+    """
+    bank_ref = refs[nc * CLASS_GROUP]
+    out_ref = refs[nc * CLASS_GROUP + 1]
+    t = pl.program_id(0)
+    buf = jnp.zeros((Kp, CLASS_GROUP * P), jnp.float32)
+    for j in range(CLASS_GROUP):
+        rho = t * CLASS_GROUP + j
+        acc = None
+        for c in range(nc):
+            sl = refs[c * CLASS_GROUP + j][
+                0, 0, pl.ds(d_ref[c, rho], Kp), :
+            ]                                         # (Kp, 128)
+            if precision == "fast":
+                fh = sl.astype(jnp.bfloat16)
+                fl = (sl - fh.astype(jnp.float32)).astype(jnp.bfloat16)
+                gh = bank_ref[0, j, 0, c * 128 : (c + 1) * 128, :]
+                gl = bank_ref[0, j, 1, c * 128 : (c + 1) * 128, :]
+                term = jnp.dot(fh, gh, preferred_element_type=jnp.float32)
+                term += jnp.dot(fl, gh, preferred_element_type=jnp.float32)
+                term += jnp.dot(fh, gl, preferred_element_type=jnp.float32)
+            else:
+                term = jnp.dot(
+                    sl, bank_ref[0, j, c * 128 : (c + 1) * 128, :],
+                    preferred_element_type=jnp.float32, precision=precision,
+                )
+            acc = term if acc is None else acc + term
+        a = j * P - (P * j) % 128          # 128-aligned block offset
+        buf = buf.at[:, a : a + Wb].add(acc)
+    out_ref[0] = buf
+
+
+def polyphase_fir_class_flat(
+    x: jnp.ndarray,
+    plan: PolyphasePlan,
+    n_out: int,
+    *,
+    precision=jax.lax.Precision.HIGHEST,
+    interpret: bool = False,
+    pad_out: bool = False,
+    num_frames: int | None = None,
+    pad_left: int | None = None,
+) -> jnp.ndarray:
+    """Resample (..., N) -> FLAT (..., n_out) output, 128-lane aligned.
+
+    Identical samples to polyphase_fir_class_frames(...).reshape(..., -1)
+    [..., :n_out], but the kernel writes the flat layout directly (no
+    160-lane frame structure anywhere), so downstream EQ/spectrum/export
+    read a clean (..., 128)-tiled signal.  With ``pad_out=True`` returns
+    the padded (..., Kp*128*P) buffer (tail holds zero-padding convolution).
+    """
+    s, P, W = plan.s, plan.P, plan.W
+    if not class_flat_supported(plan):
+        raise ValueError("plan geometry unsupported by the flat class kernel")
+    if x.ndim == 1:
+        return polyphase_fir_class_flat(
+            x[None], plan, n_out, precision=precision, interpret=interpret,
+            pad_out=pad_out, num_frames=num_frames, pad_left=pad_left,
+        )[0]
+    lead = x.shape[:-1]
+    B = int(np.prod(lead))
+    x = x.reshape(B, x.shape[-1])
+
+    if pad_left is None:
+        pad_left = max(0, -plan.lo)
+    if pad_left < 0:
+        x = x[..., -pad_left:]
+        pad_left = 0
+    w0 = 0
+    n = x.shape[-1]
+    if num_frames is None:
+        num_frames = -(-n_out // P)
+    Kp = 8 * -(-(-(-num_frames // NUM_CLASSES)) // 8)
+
+    nc, m_tab, d_tab, dmax, _ = _class_geometry(s, W, w0)
+    J = Kp + dmax + 1
+    total = 128 * s * J
+    pad_right = total - pad_left - n
+    if pad_right < 0:
+        x = x[..., : n + pad_right]
+        pad_right = 0
+    xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (pad_left, pad_right)))
+    xT = xp.reshape(B, J, s, 128).transpose(0, 2, 1, 3)
+
+    CG = CLASS_GROUP
+    n_groups = NUM_CLASSES // CG
+    Wb = 256 if P > 128 else 128
+    if precision == "fast":
+        banks = jnp.asarray(_class_banks_flat_split(plan, w0))
+        banks = banks.reshape(n_groups, CG, 2, nc * 128, Wb)
+        bank_spec = pl.BlockSpec(
+            (1, CG, 2, nc * 128, Wb), lambda t, b, m, d: (t, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        banks = jnp.asarray(_class_banks_flat(plan, w0))
+        banks = banks.reshape(n_groups, CG, nc * 128, Wb)
+        bank_spec = pl.BlockSpec(
+            (1, CG, nc * 128, Wb), lambda t, b, m, d: (t, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def x_spec(c, j):
+        return pl.BlockSpec(
+            (1, 1, J, 128),
+            lambda t, b, m, d, c=c, j=j: (b, m[c, t * CG + j], 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    kern = functools.partial(
+        _class_kernel_flat, nc=nc, Kp=Kp, P=P, Wb=Wb, precision=precision,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_groups, B),
+        in_specs=[x_spec(c, j) for c in range(nc) for j in range(CG)]
+        + [bank_spec],
+        out_specs=pl.BlockSpec(
+            (1, Kp, CG * P), lambda t, b, m, d: (b, 0, t),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    out3 = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct(
+            (B, Kp, NUM_CLASSES * P), jnp.float32
+        ),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(jnp.asarray(m_tab), jnp.asarray(d_tab), *([xT] * (nc * CG)), banks)
+
+    flat = out3.reshape(B, Kp * NUM_CLASSES * P)
+    if pad_out:
+        return flat.reshape(lead + (Kp * NUM_CLASSES * P,))
+    return flat[:, :n_out].reshape(lead + (n_out,))
 
 
 def polyphase_fir_class_frames(

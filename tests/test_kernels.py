@@ -421,3 +421,94 @@ def test_rfft_tall_kernel_large_sizes(n, n2, rng):
                                    interpret=True)
     )
     assert np.max(np.abs(mag - np.abs(want))) / scale < 1e-4
+
+
+def test_fir_class_flat_matches_resample(rng):
+    """Flat-emission class kernel == ops/src.resample (and the frames
+    variant flattened): column-rotated banks + aligned in-kernel assembly."""
+    from dsp_audio_project_tpu.config import SRCConfig
+    from dsp_audio_project_tpu.kernels.fir_class import (
+        class_flat_supported, polyphase_fir_class_flat,
+    )
+    from dsp_audio_project_tpu.ops.src import make_plan, resample
+
+    cfg = SRCConfig(L=160, M=147)
+    plan = make_plan(cfg.L, cfg.M)
+    assert class_flat_supported(plan)
+    n = 40000
+    x = (rng.standard_normal((2, n)) * 0.5).astype(np.float32)
+    n_out = cfg.output_length(n)
+    want = np.asarray(resample(jnp.asarray(x), 44100, cfg)[0])
+    got = np.asarray(
+        polyphase_fir_class_flat(jnp.asarray(x), plan, n_out, interpret=True)
+    )
+    assert got.shape == want.shape
+    assert np.max(np.abs(got - want)) < 2e-6
+    fast = np.asarray(
+        polyphase_fir_class_flat(jnp.asarray(x), plan, n_out,
+                                 precision="fast", interpret=True)
+    )
+    assert np.max(np.abs(fast - want)) < 2e-4
+
+
+def test_iir_seq_kernel_matches_oracle(rng):
+    """Sequential-carry one-sweep EQ kernel vs the golden lfilter cascade,
+    incl. state reset across the batch axis."""
+    from dsp_audio_project_tpu import EQConfig
+    from dsp_audio_project_tpu.kernels.iir_seq import equalize_seq_flat
+    from dsp_audio_project_tpu.ops.eq import make_block_operators
+    from dsp_audio_project_tpu.oracle import equalize_oracle, snr_db
+
+    from conftest import make_test_signal
+
+    fs = 48000
+    cfg = EQConfig.from_gains(
+        {"Sub-Bass": 6, "Bass": -3, "High Mids": 12, "Presence": -15}
+    )
+    ops = make_block_operators(cfg.active_bands(fs), fs, cfg.q, 8192, 128)
+    SB = 10
+    L = 2 * SB * 8192
+    xb = np.stack([make_test_signal(L, fs, seed=s) for s in (5, 9)])
+    for fast, gate in ((False, 105.0), (True, 100.0)):
+        zb = np.asarray(
+            equalize_seq_flat(jnp.asarray(xb), ops, super_blocks=SB,
+                              fast=fast, interpret=True)
+        )
+        for c in range(2):
+            want = equalize_oracle(xb[c], fs, cfg)
+            q = snr_db(want, zb[c])
+            assert q > gate, f"fast={fast} ch{c}: {q:.1f} dB"
+
+
+def test_pipeline_flat_path_matches_oracle(rng):
+    """AudioPipeline flat path (class-flat FIR -> seq EQ -> spectra)."""
+    from dsp_audio_project_tpu import (
+        AudioPipeline, EQConfig, PipelineConfig, SRCConfig,
+    )
+    from dsp_audio_project_tpu.config import KernelConfig
+    from dsp_audio_project_tpu.oracle import (
+        pipeline_oracle, snr_db, spectrum_oracle,
+    )
+
+    from conftest import make_test_signal
+
+    fs, n = 44100, 60000
+    x = make_test_signal(n, fs, seed=1)
+    cfg = PipelineConfig(
+        src=SRCConfig(L=160, M=147),
+        eq=EQConfig.from_gains({"Sub-Bass": 6, "Bass": -3, "High Mids": 12}),
+        kernels=KernelConfig(interpret=True),
+    )
+    pipe = AudioPipeline(cfg)
+    assert pipe.flat_supported(n)
+    n_out = cfg.src.output_length(n)
+    fs_out = cfg.src.output_rate(fs)
+    z_pad, y_pad, (mx, my, mz) = pipe.jit_forward_flat_spectra()(
+        jnp.asarray(x), fs
+    )
+    want, _ = pipeline_oracle(x, fs, cfg.src, cfg.eq, engine="fast")
+    assert snr_db(want, np.asarray(z_pad)[:n_out]) > 100.0
+    cap = cfg.spectrum.analysis_limit
+    assert snr_db(spectrum_oracle(want[:cap], fs_out)[1],
+                  np.asarray(mz)) > 60.0
+    assert snr_db(spectrum_oracle(x[:cap], fs)[1], np.asarray(mx)) > 60.0
