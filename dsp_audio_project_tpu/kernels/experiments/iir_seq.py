@@ -1,4 +1,26 @@
-"""Pallas TPU kernel: sequential-carry block IIR on flat 128-lane input.
+"""Pallas TPU kernel (EXPERIMENT — does not lower on real-TPU Mosaic):
+one-sweep sequential-carry block IIR on flat 128-lane input.
+
+DEMOTED round 3 with a measured/analyzed dead end:
+
+* Lowering: the (G, d) -> (1, G*d) group flatten at line ~54 is an
+  "infer-vector-layout: unsupported shape cast".  Probing Mosaic on this
+  toolchain (scripts/mosaic_capability.py): only 128-lane-wide chunks move
+  across the sublane/lane boundary — reshape (R*k, 128) <-> (R, k*128) and
+  arbitrary 2D transposes lower; (64, 12) -> (1, 768), (64, 16) -> (8, 128)
+  and every other non-lane-width merge do not.
+* Performance (why we did not redesign around the constraint): a legal
+  layout needs G a multiple of 128 -> U = block/G = 64, which DOUBLES the
+  dense group-Toeplitz FLOPs per sample (G*d*d/U), and the in-kernel solve
+  can batch at most one grid-step's super-blocks as matmul rows (VMEM-
+  bound, <= 32 rows -> <= 25% MXU row utilization).  The production XLA
+  two-sweep (ops/eq) batches the whole signal's 323 blocks as rows at full
+  MXU utilization; its extra HBM sweep (~46 vs 23 MB) costs ~28 us while
+  the kernel's utilization loss costs more.  Analysis in STATUS.md r3.
+
+Original design notes follow; the kernel stays correct in interpret mode
+(tests/test_kernels.py::test_iir_seq_kernel_matches_oracle).
+
 
 The XLA fused EQ (ops/eq) is a TWO-sweep algorithm: a state pass (read x,
 write injections/states) and an apply pass (read x again, write y) — ~46 MB
@@ -34,7 +56,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..design.biquad import BlockOperators
+from ...design.biquad import BlockOperators
 
 
 def _seq_kernel(x_ref, gin_ref, toe_ref, powsT_ref, fir_ref, gout_ref,

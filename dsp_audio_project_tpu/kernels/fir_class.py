@@ -196,7 +196,10 @@ def _class_kernel_flat(m_ref, d_ref, *refs, nc, Kp, P, Wb, precision):
     bank_ref = refs[nc * CLASS_GROUP]
     out_ref = refs[nc * CLASS_GROUP + 1]
     t = pl.program_id(0)
-    buf = jnp.zeros((Kp, CLASS_GROUP * P), jnp.float32)
+    # Accumulate straight into the VMEM output block with static 128-aligned
+    # slice read-modify-writes (a jnp buffer with .at[].add would lower to
+    # scatter-add, which Mosaic TC has no primitive for).
+    out_ref[0] = jnp.zeros((Kp, CLASS_GROUP * P), jnp.float32)
     for j in range(CLASS_GROUP):
         rho = t * CLASS_GROUP + j
         acc = None
@@ -219,8 +222,7 @@ def _class_kernel_flat(m_ref, d_ref, *refs, nc, Kp, P, Wb, precision):
                 )
             acc = term if acc is None else acc + term
         a = j * P - (P * j) % 128          # 128-aligned block offset
-        buf = buf.at[:, a : a + Wb].add(acc)
-    out_ref[0] = buf
+        out_ref[0, :, a : a + Wb] += acc
 
 
 def polyphase_fir_class_flat(

@@ -219,11 +219,15 @@ class AudioPipeline:
     # ---- flat 128-lane fast path ----------------------------------------
     #
     # The frames layout (..., F, 160) pads 160 -> 256 lanes in every op that
-    # touches it.  The flat path removes the frame structure end-to-end:
-    # the class FIR kernel emits the flat signal directly (column-rotated
-    # banks — kernels/fir_class.polyphase_fir_class_flat) and the EQ runs
-    # as ONE sequential-carry Pallas sweep (kernels/iir_seq) — read once,
-    # write once, every access 128-lane aligned.
+    # touches it.  The flat path removes the frame structure: the class FIR
+    # kernel emits the flat signal directly (column-rotated banks —
+    # kernels/fir_class.polyphase_fir_class_flat), then the scan-free XLA
+    # EQ runs on the clean 128-lane flat layout.  (A Pallas one-sweep EQ
+    # was built and measured off: Mosaic only relayouts 128-wide chunks
+    # across the sublane/lane boundary, and at any legal layout the dense
+    # group-Toeplitz matmuls batch at most one grid-step's rows — <=25%
+    # MXU row utilization vs the XLA two-sweep's whole-signal batching.
+    # See kernels/experiments/iir_seq.py for the analysis.)
 
     def flat_supported(self, n: int) -> bool:
         """True when the flat class-FIR + sequential-EQ path covers this."""
@@ -236,19 +240,10 @@ class AudioPipeline:
         plan = make_plan(cfg.src.L, cfg.src.M, cfg.src.taps_rule_factor)
         return class_flat_supported(plan) and n * cfg.src.L >= cfg.src.num_taps
 
-    @staticmethod
-    def _flat_super_blocks(P: int) -> int:
-        """Largest SB <= 16 with SB*8192 dividing every padded flat length
-        (pad lengths are multiples of 8*128*P, so SB must divide P/8)."""
-        base = P // 8
-        return max(d for d in range(1, 17) if base % d == 0)
-
     def _forward_flat(self, x: jnp.ndarray, fs: int):
-        """(x, fs) -> (z_pad, y_pad): flat padded outputs; crop [..., :n_out]
-        on host (padded tails hold zero-extension convolution / garbage)."""
+        """(x, fs) -> (z, y): flat class-FIR kernel + XLA flat EQ; true
+        (unpadded) outputs — the kernel-grid pad is cropped in-jit."""
         from ..kernels.fir_class import polyphase_fir_class_flat
-        from ..kernels.iir_seq import equalize_seq_flat
-        from ..ops.eq import make_block_operators
         from ..ops.src import make_plan
         from ..utils.profiling import trace_stage
 
@@ -263,47 +258,28 @@ class AudioPipeline:
                 precision="fast" if kc.src_fast else jax.lax.Precision.HIGHEST,
                 interpret=kc.interpret,
             )
-        if cfg.eq.bypass:
-            return y_pad, y_pad
-        bands = cfg.eq.active_bands(fs_out)
-        if not bands:
-            return jnp.clip(y_pad, -1.0, 1.0), y_pad
-        ops = make_block_operators(bands, int(fs_out), cfg.eq.q, 8192, 128)
+        y = y_pad[..., :n_out]
         with trace_stage("eq_flat"):
-            z_pad = equalize_seq_flat(
-                y_pad, ops, super_blocks=self._flat_super_blocks(plan.P),
-                fast=kc.eq_fast, interpret=kc.interpret,
-            )
-        return z_pad, y_pad
+            z = self._run_eq(y, int(fs_out))
+        return z, y
 
     def _forward_flat_spectra(self, x: jnp.ndarray, fs: int):
         from ..ops.spectrum import spectrum_mag
 
-        z_pad, y_pad = self._forward_flat(x, fs)
-        cfg = self.config
-        n_out = cfg.src.output_length(x.shape[-1])
-        scfg = cfg.spectrum
-        cap = scfg.analysis_limit
-        zs, ys = z_pad, y_pad
-        if cap and n_out < cap:
-            zs, ys = z_pad[..., :n_out], y_pad[..., :n_out]
-        return z_pad, y_pad, (
-            spectrum_mag(x, scfg), spectrum_mag(ys, scfg),
-            spectrum_mag(zs, scfg),
-        )
+        z, y = self._forward_flat(x, fs)
+        scfg = self.config.spectrum
+        return z, y, (spectrum_mag(x, scfg), spectrum_mag(y, scfg),
+                      spectrum_mag(z, scfg))
 
     def jit_forward_flat(self):
-        """Jitted flat-layout (x, fs) -> (z_pad, y_pad); see flat_supported.
-
-        Flat outputs are padded to the kernel grid; the true signal is
-        [..., :output_length(n)] (crop on host after fetch)."""
+        """Jitted flat-layout (x, fs) -> (z, y); see flat_supported."""
         if getattr(self, "_jitted_flat", None) is None:
             self._jitted_flat = jax.jit(self._forward_flat,
                                         static_argnums=(1,))
         return self._jitted_flat
 
     def jit_forward_flat_spectra(self):
-        """Jitted flat full chain (x, fs) -> (z_pad, y_pad, (mx, my, mz))."""
+        """Jitted flat full chain (x, fs) -> (z, y, (mx, my, mz))."""
         if getattr(self, "_jitted_flat_spectra", None) is None:
             self._jitted_flat_spectra = jax.jit(
                 self._forward_flat_spectra, static_argnums=(1,)

@@ -452,10 +452,13 @@ def test_fir_class_flat_matches_resample(rng):
 
 
 def test_iir_seq_kernel_matches_oracle(rng):
-    """Sequential-carry one-sweep EQ kernel vs the golden lfilter cascade,
-    incl. state reset across the batch axis."""
+    """Sequential-carry one-sweep EQ kernel (demoted to experiments/ — does
+    not lower on real-TPU Mosaic, see its module docstring) stays correct
+    in interpret mode, incl. state reset across the batch axis."""
     from dsp_audio_project_tpu import EQConfig
-    from dsp_audio_project_tpu.kernels.iir_seq import equalize_seq_flat
+    from dsp_audio_project_tpu.kernels.experiments.iir_seq import (
+        equalize_seq_flat,
+    )
     from dsp_audio_project_tpu.ops.eq import make_block_operators
     from dsp_audio_project_tpu.oracle import equalize_oracle, snr_db
 
@@ -481,7 +484,7 @@ def test_iir_seq_kernel_matches_oracle(rng):
 
 
 def test_pipeline_flat_path_matches_oracle(rng):
-    """AudioPipeline flat path (class-flat FIR -> seq EQ -> spectra)."""
+    """AudioPipeline flat path (class-flat FIR -> XLA flat EQ -> spectra)."""
     from dsp_audio_project_tpu import (
         AudioPipeline, EQConfig, PipelineConfig, SRCConfig,
     )
@@ -503,11 +506,12 @@ def test_pipeline_flat_path_matches_oracle(rng):
     assert pipe.flat_supported(n)
     n_out = cfg.src.output_length(n)
     fs_out = cfg.src.output_rate(fs)
-    z_pad, y_pad, (mx, my, mz) = pipe.jit_forward_flat_spectra()(
+    z, y, (mx, my, mz) = pipe.jit_forward_flat_spectra()(
         jnp.asarray(x), fs
     )
+    assert z.shape[-1] == n_out and y.shape[-1] == n_out
     want, _ = pipeline_oracle(x, fs, cfg.src, cfg.eq, engine="fast")
-    assert snr_db(want, np.asarray(z_pad)[:n_out]) > 100.0
+    assert snr_db(want, np.asarray(z)) > 100.0
     cap = cfg.spectrum.analysis_limit
     assert snr_db(spectrum_oracle(want[:cap], fs_out)[1],
                   np.asarray(mz)) > 60.0
