@@ -276,11 +276,19 @@ def main() -> None:
     log(f"reference algorithm (host cpu, {n_ref} samples, incl. spectra): "
         f"{ref_dt_full*1e3:.1f} ms -> {ref_sps/1e6:.3f} M samples/s")
 
+    # "extra" rides the one JSON line so downstream harnesses can pick the
+    # denominator that matches THEIR workload: scripts/pod_scaling.py times
+    # SRC+EQ only, so it reads extra.src_eq_ms_per_60s_signal instead of
+    # back-deriving a (full-chain) time from the headline metric.
     print(json.dumps({
         "metric": "src_eq_fft_chain_input_samples_per_sec_per_chip",
         "value": round(sps_full, 1),
         "unit": "samples/s",
         "vs_baseline": round(sps_full / ref_sps, 2),
+        "extra": {
+            "src_eq_ms_per_60s_signal": round(dt * 1e3, 4),
+            "full_chain_ms_per_60s_signal": round(dt_full * 1e3, 4),
+        },
     }))
 
 

@@ -3,7 +3,7 @@ one-sweep sequential-carry block IIR on flat 128-lane input.
 
 DEMOTED round 3 with a measured/analyzed dead end:
 
-* Lowering: the (G, d) -> (1, G*d) group flatten at line ~54 is an
+* Lowering: the (G, d) -> (1, G*d) group flatten (in ``_seq_kernel``) is an
   "infer-vector-layout: unsupported shape cast".  Probing Mosaic on this
   toolchain (scripts/mosaic_capability.py): only 128-lane-wide chunks move
   across the sublane/lane boundary — reshape (R*k, 128) <-> (R, k*128) and

@@ -230,7 +230,7 @@ class AudioPipeline:
     # See kernels/experiments/iir_seq.py for the analysis.)
 
     def flat_supported(self, n: int) -> bool:
-        """True when the flat class-FIR + sequential-EQ path covers this."""
+        """True when the flat class-FIR + XLA flat EQ path covers this."""
         cfg = self.config
         if cfg.src.bypass:
             return False

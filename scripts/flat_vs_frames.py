@@ -2,7 +2,8 @@
 
 Measures profiler device time (batch-8, per 60 s signal) for
   1. frames path: shear/class FIR (frames emission) -> XLA two-sweep EQ
-  2. flat path:   class FIR flat emission -> Pallas one-sweep sequential EQ
+  2. flat path:   class FIR flat emission -> XLA flat EQ (the Pallas
+     one-sweep EQ was measured off; see kernels/experiments/iir_seq.py)
 plus the full-chain (+ spectra x/y/z) variants of each, and SNR vs the
 oracle.  Decides which path bench.py should route (VERDICT r2 item 3).
 """

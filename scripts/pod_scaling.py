@@ -48,9 +48,13 @@ def t1_per_60s() -> float:
         extra = parsed.get("extra", {})
         if "src_eq_ms_per_60s_signal" in extra:
             return float(extra["src_eq_ms_per_60s_signal"]) * 1e-3
-        if str(parsed.get("metric", "")).startswith("src_eq") and (
-            float(parsed.get("value", 0)) > 0
-        ):
+        # Only derive t1 from the headline metric when it measures the SAME
+        # workload this harness times (SRC+EQ, no spectra).  The round-3+
+        # metric "src_eq_fft_chain_..." includes the spectra stage — using
+        # it here would overstate efficiency ~9% — so it falls through to
+        # the measured SRC+EQ fallback constant instead.
+        if parsed.get("metric") == "src_eq_chain_input_samples_per_sec_per_chip" \
+                and float(parsed.get("value", 0)) > 0:
             return 60.0 * 44100.0 / float(parsed["value"])
     except (OSError, ValueError, KeyError):
         pass
