@@ -647,6 +647,120 @@ def build_dynamic_operators_host(
     )
 
 
+class DynStreamOperators(NamedTuple):
+    """DynOperators + the sharded-streaming carry tables, all traced arrays.
+
+    ``ShardedStreamProcessor``'s super-step needs, beyond the block tables,
+    the cross-shard / cross-step carry algebra of streaming.py:
+      pk[k]      = (A^block)^k                   k in [0, K_loc)
+      weights    = (nb, nb, d, d) cross-shard map: weights[dst, src] =
+                   A_shard^{dst-1-src} for src < dst (A_shard = A^{block*K_loc})
+      w_out[i]   = A_shard^{nb-1-i} — the replicated outgoing-carry weights
+      pow_nb[k]  = A_shard^k for k in [0, nb] (incoming-carry propagation;
+                   pow_nb[nb] feeds the outgoing carry)
+    Passing THIS pytree as a jit argument (instead of baking the tables as
+    compile-time constants) is what makes a mid-stream gain change free of
+    recompilation: one compiled super-step serves every gain vector.
+    """
+
+    ops: DynOperators
+    pk: jnp.ndarray        # (K_loc, d, d)
+    weights: jnp.ndarray   # (nb, nb, d, d)
+    w_out: jnp.ndarray     # (nb, d, d)
+    pow_nb: jnp.ndarray    # (nb + 1, d, d)
+    carry_loc: Optional[jnp.ndarray]  # (K_loc d, K_loc d) local carry
+    #   triangle mapping [0, e_0..e_{K-2}] -> [sigma_0..sigma_{K-1}]
+    #   (ops/eq._carry_weights layout); None when K_loc == 1.
+
+
+def build_dynamic_stream_operators_host(
+    gains_db,
+    fs: int,
+    cfg: EQConfig = EQConfig(),
+    unroll: int = 128,
+    groups_per_block: int = 128,
+    num_blocks: int = 1,
+    num_shards: int = 1,
+) -> DynStreamOperators:
+    """Host-float64 streaming operators for CONCRETE gains.
+
+    The serving model (/root/reference/app.py:158-167 generalized to
+    long-form): a slider move mid-stream builds THIS pytree (~ms of host
+    float64 numpy + a small upload) and hands it to
+    ``ShardedStreamProcessor.set_dynamic_operators`` — no recompile, and
+    the carry state sigma passes through the change un-reset (the
+    live-lfilter semantics: filter state persists across a coefficient
+    change; see streaming.py).
+
+    ``num_blocks`` = K_loc (EQ blocks per shard), ``num_shards`` = nb
+    (block-axis mesh size).  All tables are float64-exact views of the
+    f32-quantized Schur system, like ``build_dynamic_operators_host``.
+    """
+    import numpy as np
+
+    from ..design.biquad import cascade_state_space, peaking_coeffs, schur_form
+
+    g = np.asarray(gains_db, np.float64).reshape(-1).copy()
+    g[np.abs(g) <= cfg.bypass_threshold_db] = 0.0
+    ceiling = (fs / 2.0) * cfg.nyquist_safety
+    sections = []
+    for (name, fc), gain in zip(cfg.band_centers, g):
+        fc_eff = ceiling if fc >= ceiling else fc
+        sections.append(peaking_coeffs(fc_eff, fs, float(gain), cfg.q))
+    ss = schur_form(cascade_state_space(sections))
+
+    A32 = ss.A.astype(np.float32).astype(np.float64)
+    B32 = ss.B.astype(np.float32).astype(np.float64)
+    C32 = ss.C.astype(np.float32).astype(np.float64)
+    D32 = float(np.float32(ss.D))
+    d = ss.order
+    U, G, K, nb = unroll, groups_per_block, num_blocks, num_shards
+
+    pu = _host_powers(A32, U + 1)
+    group_in = pu[U - 1 :: -1] @ B32
+    CA_u = np.einsum("a,uab->ub", C32, pu[:U])
+    seq = CA_u @ B32
+    uu = np.arange(U)
+    idx = uu[:, None] - 1 - uu[None, :]
+    fir = np.where(idx >= 0, seq[np.clip(idx, 0, U - 1)], 0.0)
+    fir = fir + D32 * np.eye(U)
+    pg = _host_powers(pu[U], G + 1)                     # (A^U)^0..G
+    A_blk = pg[G]                                       # A^block
+    pk = _host_powers(A_blk, K)                         # (K, d, d)
+    A_shard = np.linalg.matrix_power(A_blk, K)          # A^{block*K}
+    pow_nb = _host_powers(A_shard, nb + 1)              # (nb+1, d, d)
+    weights = np.zeros((nb, nb, d, d))
+    for dst in range(nb):
+        for srcd in range(dst):
+            weights[dst, srcd] = pow_nb[dst - 1 - srcd]
+    w_out = np.stack([pow_nb[nb - 1 - i] for i in range(nb)])
+    carry_loc = None
+    if K > 1:
+        WT = np.zeros((K, d, K, d))
+        for k in range(K):
+            for j in range(k + 1):
+                WT[j, :, k, :] = pk[k - j].T
+        carry_loc = WT.reshape(K * d, K * d)
+
+    f32 = jnp.float32
+    ops = _expand_dyn_operators(
+        jnp.asarray(group_in, f32),
+        jnp.asarray(CA_u.T, f32),
+        jnp.asarray(fir.T, f32),
+        jnp.asarray(pg[:G], f32),
+        jnp.asarray(A_blk, f32),
+        None,
+    )
+    return DynStreamOperators(
+        ops=ops,
+        pk=jnp.asarray(pk, f32),
+        weights=jnp.asarray(weights, f32),
+        w_out=jnp.asarray(w_out, f32),
+        pow_nb=jnp.asarray(pow_nb, f32),
+        carry_loc=None if carry_loc is None else jnp.asarray(carry_loc, f32),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("groups_per_block", "fast"))
 def equalize_dynamic_frames_ops(
     frames: jnp.ndarray,

@@ -295,7 +295,11 @@ class ShardedStreamProcessor:
         channels: int,
         frames_per_shard: Optional[int] = None,
         state: Optional[StreamState] = None,
+        fused: Optional[bool] = None,
+        gains_db=None,
     ):
+        import jax
+
         from .parallel.mesh import BLOCK_AXIS, CHANNEL_AXIS
 
         self.config = config
@@ -318,21 +322,39 @@ class ShardedStreamProcessor:
         self._lo = p.lo if p else 0
         self._hr = max(0, self._W - self._s)
 
+        # Fused super-step: the per-shard SRC runs the production Pallas
+        # class/shear kernel (kernels.fir_frames) and the EQ consumes its
+        # frames directly at unroll = P — the streaming twin of
+        # parallel/pipeline.build_sharded_pipeline(fused=True).  Same auto
+        # rule: on where the plan supports it and Pallas can run (TPU, or
+        # interpret mode anywhere).  Off (the XLA shifted-matmul path), the
+        # EQ reads the FLAT per-shard output at the standard unroll 128.
+        if fused is None:
+            fused = (
+                p is not None
+                and p.s >= 8
+                and (config.kernels.interpret
+                     or jax.default_backend() == "tpu")
+            )
+        if fused and (p is None or p.s < 8):
+            raise ValueError("fused streaming requires SRC with stride s >= 8")
+        self._fused = bool(fused)
+
         bands = config.eq.active_bands(self.fs_out)
-        self._eq_active = (not config.eq.bypass) and bool(bands)
+        self._dynamic = gains_db is not None
+        self._eq_active = self._dynamic or (
+            (not config.eq.bypass) and bool(bands)
+        )
         fpb = max(1, -(-config.kernels.iir_block // self._P))
         fpb = -(-fpb // 16) * 16
         self._fpb = fpb
-        # The EQ consumes the FLAT per-shard output, so the unroll is free to
-        # be the standard 128 (block_operators halves it until it divides the
-        # block) — unlike the fused frame-major path, which pins unroll = P.
-        self._ops = (
-            eq_ops.make_block_operators(
-                bands, self.fs_out, config.eq.q, fpb * self._P, 128
-            )
-            if self._eq_active else None
-        )
-        self._d = self._ops.A.shape[0] if self._eq_active else 0
+        # Requested unroll: P on the fused frame-major path (frames feed the
+        # EQ directly), 128 on the flat path.  The static builder halves it
+        # until it divides the block; the dynamic builder needs it exact.
+        self._U = self._P if self._fused else 128
+        if not self._fused:
+            while (fpb * self._P) % self._U:
+                self._U //= 2
         if frames_per_shard is None:
             frames_per_shard = fpb
         if frames_per_shard % fpb:
@@ -343,6 +365,31 @@ class ShardedStreamProcessor:
         self._fl = frames_per_shard
         self._K_loc = self._fl // fpb
         self._F_sup = self._nb * self._fl
+
+        if self._dynamic:
+            # Dynamic-gains serving mode: the EQ operators are a traced
+            # input of the compiled super-step, so set_gains() swaps them
+            # at any super-step boundary WITHOUT recompiling.  All bands
+            # stay active (gain 0 == identity) so d — and the compiled
+            # shapes — are gain-independent.
+            self._d = 2 * len(config.eq.band_centers)
+            self._ops = None
+            self._gains = np.asarray(gains_db, np.float64).reshape(-1)
+            if self._gains.shape[0] != len(config.eq.band_centers):
+                raise ValueError(
+                    f"expected {len(config.eq.band_centers)} gains, got "
+                    f"{self._gains.shape[0]}"
+                )
+            self._dops = self._build_dyn_operators(self._gains)
+        else:
+            self._ops = (
+                eq_ops.make_block_operators(
+                    bands, self.fs_out, config.eq.q, fpb * self._P, self._U
+                )
+                if self._eq_active else None
+            )
+            self._d = self._ops.A.shape[0] if self._eq_active else 0
+            self._dops = None
 
         if state is not None:
             if state.fs != self.fs:
@@ -364,10 +411,52 @@ class ShardedStreamProcessor:
             self._sigma = np.zeros((self.channels, self._d), np.float32)
         self._flushed = False
         self._fn = None  # jitted shard_map step, built lazily
+        # The carry stays ON DEVICE between super-steps (self._sigma_dev):
+        # fetching it per step would serialize dispatch on a device->host
+        # round trip.  self._sigma is the host mirror, refreshed lazily by
+        # _sync_sigma() (state serialization, flush, debugging).
+        self._sigma_dev = None
+
+    # -- dynamic gains -------------------------------------------------------
+    def _build_dyn_operators(self, gains_db):
+        from .ops.eq_dynamic import build_dynamic_stream_operators_host
+
+        return build_dynamic_stream_operators_host(
+            gains_db, self.fs_out, self.config.eq,
+            unroll=self._U, groups_per_block=(self._fpb * self._P) // self._U,
+            num_blocks=self._K_loc, num_shards=self._nb,
+        )
+
+    def set_gains(self, gains_db) -> None:
+        """Swap the EQ gains at a super-step boundary — NO recompile.
+
+        Only valid in dynamic mode (constructed with ``gains_db=...``).  The
+        operators are a traced input of the compiled super-step, so this
+        costs one host-float64 build (~ms) plus a small upload.  The carry
+        state sigma passes through the change un-reset — the live-lfilter
+        semantics: a coefficient change preserves the filter's internal
+        state (the reference's slider model, app.py:158-167, applied
+        mid-stream).  Equivalent one-shot semantics: segment-before-change
+        processed with the old gains ending in state sigma, segment-after
+        processed with the new gains starting from sigma
+        (tests/test_streaming.py gates the equivalence).
+        """
+        if not self._dynamic:
+            raise RuntimeError(
+                "processor was built with static gains; construct with "
+                "gains_db=... for dynamic mode"
+            )
+        self._gains = np.asarray(gains_db, np.float64).reshape(-1)
+        self._dops = self._build_dyn_operators(self._gains)
+
+    def _sync_sigma(self) -> None:
+        if self._sigma_dev is not None:
+            self._sigma = np.asarray(self._sigma_dev)[: self.channels]
 
     # -- state --------------------------------------------------------------
     @property
     def state(self) -> StreamState:
+        self._sync_sigma()
         return StreamState(
             samples_in=self._samples_in,
             frames_done=self._frames_done,
@@ -382,11 +471,13 @@ class ShardedStreamProcessor:
     @staticmethod
     def resume(config: PipelineConfig, mesh, channels: int, data: bytes,
                frames_per_shard: Optional[int] = None,
+               fused: Optional[bool] = None, gains_db=None,
                ) -> "ShardedStreamProcessor":
         st = StreamState.from_bytes(data)
         return ShardedStreamProcessor(
             config, st.fs, mesh, channels,
-            frames_per_shard=frames_per_shard, state=st,
+            frames_per_shard=frames_per_shard, state=st, fused=fused,
+            gains_db=gains_db,
         )
 
     # -- device step ---------------------------------------------------------
@@ -403,9 +494,14 @@ class ShardedStreamProcessor:
         ops, eq_active = self._ops, self._eq_active
         eq_bypass = self.config.eq.bypass
         fast = self.config.kernels.eq_fast
+        fused = self._fused
+        dynamic = self._dynamic
+        kc = self.config.kernels
         P_cls = self._P
+        fpb = self._fpb
+        U_flat = self._U
 
-        if eq_active:
+        if eq_active and not dynamic:
             d = self._d
             A_shard = np.linalg.matrix_power(
                 ops.state_corr.astype(np.float64), K_loc
@@ -434,47 +530,57 @@ class ShardedStreamProcessor:
             w_idx = np.arange(plan.W, dtype=np.int32)[None, :]
             gather_idx = k_idx * plan.s + w_idx
 
-        def local_fn(x_loc, tail, sigma_in):
+        def local_src(x_loc, tail):
+            """Halo exchange + per-shard SRC -> frames (C, fl, P)."""
             from .ops.src import shifted_frames_matmul
 
             xf = x_loc.astype(jnp.float32)
             if plan is None:
-                y_loc = xf
+                return xf
+            if hr:
+                nb_ = jax.lax.axis_size(BLOCK_AXIS)
+                right = jax.lax.ppermute(
+                    xf[..., :hr], BLOCK_AXIS,
+                    [(i + 1, i) for i in range(nb_ - 1)],
+                )
+                my = jax.lax.axis_index(BLOCK_AXIS)
+                # The last shard's halo is the real stream tail, not the
+                # ppermute zero edge (mid-stream the signal continues).
+                right = jnp.where(
+                    my == nb_ - 1, tail.astype(jnp.float32), right
+                )
+                x_ext = jnp.concatenate([xf, right], axis=-1)
             else:
-                if hr:
-                    nb_ = jax.lax.axis_size(BLOCK_AXIS)
-                    right = jax.lax.ppermute(
-                        xf[..., :hr], BLOCK_AXIS,
-                        [(i + 1, i) for i in range(nb_ - 1)],
-                    )
-                    my = jax.lax.axis_index(BLOCK_AXIS)
-                    # The last shard's halo is the real stream tail, not the
-                    # ppermute zero edge (mid-stream the signal continues).
-                    right = jnp.where(
-                        my == nb_ - 1, tail.astype(jnp.float32), right
-                    )
-                    x_ext = jnp.concatenate([xf, right], axis=-1)
-                else:
-                    x_ext = xf
-                if plan.s >= 8:
-                    # x_ext index 0 is frame 0's window start by construction.
-                    classes = shifted_frames_matmul(x_ext, plan, fl, 0)
-                else:
-                    frames = jnp.take(x_ext, jnp.asarray(gather_idx), axis=-1)
-                    classes = einsum_f32(
-                        "...kw,wp->...kp", frames,
-                        jnp.asarray(plan.G, jnp.float32),
-                    )
-                y_loc = classes.reshape(xf.shape[:-1] + (fl * P_cls,))
-            if not eq_active:
-                z_loc = y_loc if eq_bypass else jnp.clip(y_loc, -1.0, 1.0)
-                return z_loc, sigma_in
-            x_g = y_loc.reshape(
-                y_loc.shape[:-1] + (K_loc, ops.block // ops.unroll, ops.unroll)
+                x_ext = xf
+            if fused:
+                # The production Pallas kernel (class/shear, routed by
+                # kernels.fir_frames).  x_ext index 0 is frame 0's window
+                # start, so pad_left = 0 like the sharded one-shot path.
+                from .kernels import fir_frames
+
+                return fir_frames(
+                    x_ext, plan, fl * P_cls, num_frames=fl, pad_left=0,
+                    precision="fast" if kc.src_fast
+                    else jax.lax.Precision.HIGHEST,
+                    interpret=kc.interpret,
+                )
+            if plan.s >= 8:
+                # x_ext index 0 is frame 0's window start by construction.
+                return shifted_frames_matmul(x_ext, plan, fl, 0)
+            frames = jnp.take(x_ext, jnp.asarray(gather_idx), axis=-1)
+            return einsum_f32(
+                "...kw,wp->...kp", frames, jnp.asarray(plan.G, jnp.float32),
             )
-            s_in, e = eq_ops._grouped_states(x_g, ops)
-            sigma_local = eq_ops._carry_states(e, ops)
-            A_blk = jnp.asarray(ops.state_corr, jnp.float32)
+
+        def cross_shard(sigma_local, e, sigma_in, W_cross, pow_lo, pow_hi,
+                        W_out, A_blk, pk_arr):
+            """Shared carry algebra: true per-block states + outgoing carry.
+
+            W_cross (nb, nb, d, d) maps gathered shard-end states to each
+            shard's incoming state; pow_lo (nb, d, d) / pow_hi (d, d)
+            propagate the stream's incoming carry; W_out gives the
+            replicated outgoing carry.
+            """
             e_shard = (
                 einsum_f32("ij,...j->...i", A_blk, sigma_local[..., -1, :])
                 + e[..., -1, :]
@@ -482,34 +588,148 @@ class ShardedStreamProcessor:
             gathered = jax.lax.all_gather(e_shard, BLOCK_AXIS)  # (nb, C, d)
             my = jax.lax.axis_index(BLOCK_AXIS)
             sig_f = sigma_in.astype(jnp.float32)
-            w_my = jnp.take(jnp.asarray(weights), my, axis=0)   # (nb, d, d)
-            pow_my = jnp.take(jnp.asarray(pows_f32[:nb]), my, axis=0)
+            w_my = jnp.take(W_cross, my, axis=0)                # (nb, d, d)
+            pow_my = jnp.take(pow_lo, my, axis=0)
             sigma0 = (
                 einsum_f32("sij,s...j->...i", w_my, gathered)
                 + einsum_f32("ij,...j->...i", pow_my, sig_f)
             )
             sigma = sigma_local + einsum_f32(
-                "kij,...j->...ki", jnp.asarray(pk_f32), sigma0
+                "kij,...j->...ki", pk_arr, sigma0
             )
-            z = eq_ops._grouped_apply(x_g, s_in, sigma, ops, fast=fast)
-            z_loc = jnp.clip(z.reshape(y_loc.shape), -1.0, 1.0)
             # Replicated outgoing carry (identical on every block shard).
             sigma_out = (
-                einsum_f32("sij,s...j->...i", jnp.asarray(w_out), gathered)
-                + einsum_f32(
-                    "ij,...j->...i", jnp.asarray(pows_f32[nb]), sig_f
-                )
+                einsum_f32("sij,s...j->...i", W_out, gathered)
+                + einsum_f32("ij,...j->...i", pow_hi, sig_f)
             )
-            return z_loc, sigma_out
+            return sigma, sigma_out
+
+        def regroup(y):
+            """SRC result -> (C, K_loc, G, U) EQ groups.
+
+            Fused: frames (C, fl, P) regroup along the LEADING axis only
+            (U = P, no lane retile).  Flat: (C, fl*P) regroup at U = 128.
+            """
+            if fused:
+                return y.reshape(y.shape[:-2] + (K_loc, fpb, P_cls))
+            U = ops.unroll if ops is not None else U_flat
+            return y.reshape(
+                y.shape[:-1] + (K_loc, (fpb * P_cls) // U, U)
+            )
+
+        def finalize(z, like):
+            """Clip + restore the SRC result's layout (frames or flat)."""
+            return jnp.clip(z.reshape(like.shape), -1.0, 1.0)
+
+        def local_fn(x_loc, tail, sigma_in):
+            y = local_src(x_loc, tail)           # frames if fused else flat
+            if plan is not None and not fused:
+                y = y.reshape(x_loc.shape[:-1] + (fl * P_cls,))
+            if not eq_active:
+                z = y if eq_bypass else jnp.clip(y, -1.0, 1.0)
+                return z, sigma_in
+            x_g = regroup(y)
+            s_in, e = eq_ops._grouped_states(x_g, ops)
+            sigma_local = eq_ops._carry_states(e, ops)
+            sigma, sigma_out = cross_shard(
+                sigma_local, e, sigma_in,
+                jnp.asarray(weights), jnp.asarray(pows_f32[:nb]),
+                jnp.asarray(pows_f32[nb]), jnp.asarray(w_out),
+                jnp.asarray(ops.state_corr, jnp.float32),
+                jnp.asarray(pk_f32),
+            )
+            z = eq_ops._grouped_apply(x_g, s_in, sigma, ops, fast=fast)
+            return finalize(z, y), sigma_out
+
+        def local_fn_dyn(x_loc, tail, sigma_in, dops):
+            """Dynamic-gains step: EQ operators are TRACED inputs, so a
+            mid-stream gain swap reuses this compile (see set_gains)."""
+            od = dops.ops
+            y = local_src(x_loc, tail)
+            if plan is not None and not fused:
+                y = y.reshape(x_loc.shape[:-1] + (fl * P_cls,))
+            x_g = regroup(y)
+            d_dyn = od.group_in.shape[-1]
+            G = x_g.shape[-2]
+            lead = x_g.shape[:-2]
+            f32 = jnp.float32
+            # Grouped state pass (ops/eq._grouped_states with traced tables;
+            # fast mode shares the weight-concat matmul of _dynamic_grouped).
+            if fast:
+                w_cat = jnp.concatenate([od.fir_t, od.group_in], axis=1)
+                cat = jnp.einsum(
+                    "...gu,uv->...gv", x_g, w_cat,
+                    precision=jax.lax.Precision.HIGH,
+                    preferred_element_type=f32,
+                )
+                y0 = cat[..., : x_g.shape[-1]]
+                inj = cat[..., x_g.shape[-1]:]
+            else:
+                y0 = None
+                inj = einsum_f32("...gu,ud->...gd", x_g, od.group_in)
+            toe_prec = jax.lax.Precision.HIGH if fast else \
+                jax.lax.Precision.HIGHEST
+            s_tail = jnp.einsum(
+                "...x,xy->...y", inj.reshape(lead + (G * d_dyn,)), od.toe,
+                precision=toe_prec, preferred_element_type=f32,
+            ).reshape(lead + (G, d_dyn))
+            e = s_tail[..., G - 1, :]
+            s_in = jnp.concatenate(
+                [jnp.zeros(lead + (1, d_dyn), f32),
+                 s_tail[..., : G - 1, :]], axis=-2,
+            )
+            # Local (within-shard) block carry from zero state.
+            blead = e.shape[:-2]
+            if K_loc == 1:
+                sigma_local = jnp.zeros_like(e)
+            else:
+                vecs = jnp.concatenate(
+                    [jnp.zeros(blead + (1, d_dyn), f32),
+                     e[..., : K_loc - 1, :]], axis=-2,
+                )
+                sigma_local = einsum_f32(
+                    "...x,xy->...y",
+                    vecs.reshape(blead + (K_loc * d_dyn,)), dops.carry_loc,
+                ).reshape(blead + (K_loc, d_dyn))
+            sigma, sigma_out = cross_shard(
+                sigma_local, e, sigma_in,
+                dops.weights, dops.pow_nb[:nb], dops.pow_nb[nb],
+                dops.w_out, od.A_blk, dops.pk,
+            )
+            s_true = s_in + einsum_f32(
+                "gef,...kf->...kge", od.pows_g, sigma
+            )
+            if y0 is None:
+                y0 = jnp.einsum(
+                    "...gu,uv->...gv", x_g, od.fir_t,
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=f32,
+                )
+            z = y0 + einsum_f32("...gd,du->...gu", s_true, od.group_out)
+            return finalize(z, y), sigma_out
 
         spec_x = P(CHANNEL_AXIS, BLOCK_AXIS)
         spec_rep = P(CHANNEL_AXIS)
-        fn = shard_map(
-            local_fn, mesh=self.mesh,
-            in_specs=(spec_x, spec_rep, spec_rep),
-            out_specs=(spec_x, spec_rep),
-            check_vma=False,
+        # Fused steps emit frame-major output sharded on the frame axis (the
+        # flat view is free on host); flat steps emit the flat signal.
+        spec_z = (
+            P(CHANNEL_AXIS, BLOCK_AXIS, None)
+            if (fused and plan is not None) else spec_x
         )
+        if dynamic:
+            fn = shard_map(
+                local_fn_dyn, mesh=self.mesh,
+                in_specs=(spec_x, spec_rep, spec_rep, P()),
+                out_specs=(spec_z, spec_rep),
+                check_vma=False,
+            )
+        else:
+            fn = shard_map(
+                local_fn, mesh=self.mesh,
+                in_specs=(spec_x, spec_rep, spec_rep),
+                out_specs=(spec_z, spec_rep),
+                check_vma=False,
+            )
         return jax.jit(fn)
 
     # -- processing ----------------------------------------------------------
@@ -526,9 +746,14 @@ class ShardedStreamProcessor:
             )
         self._buf = np.concatenate([self._buf, chunk], axis=1)
         self._samples_in += chunk.shape[1]
-        outs = []
+        # Two-phase: dispatch every ready super-step back to back (device
+        # uploads + launches queue asynchronously; the carry stays on
+        # device), THEN fetch the outputs — fetches of step k overlap the
+        # device executing step k+1.
+        pend = []
         while self._step_ready():
-            outs.append(self._run_step(final=False))
+            pend.append(self._run_step(final=False))
+        outs = [self._fetch_step(p) for p in pend]
         return (
             np.concatenate(outs, axis=1) if outs
             else np.zeros((self.channels, 0), np.float32)
@@ -552,10 +777,11 @@ class ShardedStreamProcessor:
             y, _ = resample(jnp.asarray(self._buf), self.fs, src)
             return self._flush_eq_unsharded(np.asarray(y))
         total_out = src.output_length(n_total) if n_total else 0
-        outs = []
+        pend = []
         total_frames = -(-total_out // self._P)
         while self._frames_done < total_frames:
-            outs.append(self._run_step(final=True))
+            pend.append(self._run_step(final=True))
+        outs = [self._fetch_step(p) for p in pend]
         return (
             np.concatenate(outs, axis=1) if outs
             else np.zeros((self.channels, 0), np.float32)
@@ -563,6 +789,52 @@ class ShardedStreamProcessor:
 
     def _flush_eq_unsharded(self, y: np.ndarray) -> np.ndarray:
         cfg = self.config.eq
+        self._sync_sigma()
+        self._sigma_dev = None
+        if self._dynamic:
+            # Short-stream flush in dynamic mode: one grouped pass over the
+            # (tiny) zero-padded block with the carry folded in.  The
+            # post-flush end state is not updated (the stream is closed).
+            od = self._dops.ops
+            U = od.group_in.shape[0]
+            d = od.group_in.shape[-1]
+            G = od.toe.shape[0] // d
+            n = y.shape[-1]
+            blk = G * U
+            yp = jnp.pad(jnp.asarray(y, jnp.float32),
+                         [(0, 0)] * (y.ndim - 1) + [(0, blk - (n % blk or blk))])
+            lead = yp.shape[:-1]
+            x_g = yp.reshape(lead + (-1, G, U))
+            from .utils.precision import einsum_f32 as _es
+
+            inj = _es("...gu,ud->...gd", x_g, od.group_in)
+            s_tail = _es(
+                "...x,xy->...y",
+                inj.reshape(x_g.shape[:-2] + (G * d,)), od.toe,
+            ).reshape(x_g.shape[:-2] + (G, d))
+            s_in = jnp.concatenate(
+                [jnp.zeros(x_g.shape[:-2] + (1, d), jnp.float32),
+                 s_tail[..., : G - 1, :]], axis=-2,
+            )
+            K = x_g.shape[-3]
+            sig0 = jnp.asarray(self._sigma, jnp.float32)
+            if K > 1:
+                # Propagate across blocks: sigma_k = A_blk^k sig0 + local.
+                e = s_tail[..., G - 1, :]
+                sigs = [sig0]
+                for _k in range(K - 1):
+                    sigs.append(
+                        _es("ij,...j->...i", od.A_blk, sigs[-1])
+                        + e[..., _k, :]
+                    )
+                sigma = jnp.stack(sigs, axis=-2)
+            else:
+                sigma = sig0[..., None, :]
+            s_true = s_in + _es("gef,...kf->...kge", od.pows_g, sigma)
+            y0 = _es("...gu,uv->...gv", x_g, od.fir_t)
+            z = y0 + _es("...gd,du->...gu", s_true, od.group_out)
+            z = jnp.clip(z.reshape(lead + (-1,))[..., :n], -1.0, 1.0)
+            return np.asarray(z)
         if cfg.bypass:
             return y
         if not self._eq_active:
@@ -589,7 +861,15 @@ class ShardedStreamProcessor:
         # would be unretractable if the stream ended now).
         return k_end * self._P <= src.output_length(n_total)
 
-    def _run_step(self, final: bool) -> np.ndarray:
+    def _run_step(self, final: bool):
+        """Dispatch ONE super-step; returns (z_device, emit_count).
+
+        Device work (uploads, the shard_map program) is queued
+        asynchronously; nothing is fetched here — the carry stays on device
+        (self._sigma_dev) and feeds the next dispatch directly, so back-to-
+        back steps never serialize on a device->host round trip.  Use
+        ``_fetch_step`` on the returned record to materialize the output.
+        """
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -611,9 +891,6 @@ class ShardedStreamProcessor:
             arr[: self.channels, s0 - a : s1 - a] = (
                 self._buf[:, s0 - buf_start : s1 - buf_start]
             )
-        sig = np.zeros((self._c_pad, max(1, self._d)), np.float32)
-        if self._d:
-            sig[: self.channels] = self._sigma
 
         mesh = self.mesh
         x_d = jax.device_put(
@@ -623,22 +900,36 @@ class ShardedStreamProcessor:
         tail_d = jax.device_put(
             np.ascontiguousarray(arr[:, span_len:]), rep
         )
-        sig_d = jax.device_put(sig[:, : self._d], rep)
-        z, sigma_out = self._fn(x_d, tail_d, sig_d)
-        z = np.asarray(z)[: self.channels]
+        if self._sigma_dev is None:
+            sig = np.zeros((self._c_pad, max(1, self._d)), np.float32)
+            if self._d:
+                sig[: self.channels] = self._sigma
+            self._sigma_dev = jax.device_put(sig[:, : self._d], rep)
+        if self._dynamic:
+            z, sigma_out = self._fn(x_d, tail_d, self._sigma_dev, self._dops)
+        else:
+            z, sigma_out = self._fn(x_d, tail_d, self._sigma_dev)
         if self._d:
-            self._sigma = np.asarray(sigma_out)[: self.channels]
+            self._sigma_dev = sigma_out
 
         src = self.config.src
         total_out = (
             src.output_length(n_total) if self._plan is not None else n_total
         )
         emit_upto = min(k_end * self._P, total_out)
-        out = z[:, : emit_upto - k0 * self._P]
+        emit = emit_upto - k0 * self._P
         self._frames_done = k_end
         # Trim the buffer to the samples future frames can still touch.
         keep_from = self._frames_done * self._s + self._lo
         drop = max(0, keep_from - buf_start)
         if drop:
             self._buf = self._buf[:, drop:]
-        return out
+        return z, emit
+
+    def _fetch_step(self, pend) -> np.ndarray:
+        """Materialize one dispatched super-step's output on host."""
+        z_dev, emit = pend
+        z = np.asarray(z_dev)[: self.channels]
+        if z.ndim == 3:  # fused steps emit frames; the flat view is free here
+            z = z.reshape(z.shape[0], -1)
+        return z[:, :emit]

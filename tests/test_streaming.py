@@ -253,3 +253,181 @@ def test_sharded_stream_bypass_paths():
         ShardedStreamProcessor(cfg_src, fs, mesh, C), x, [12345, n]
     )
     assert min(snr_db(z_ref[c], z[c]) for c in range(C)) > 110.0
+
+
+# ---- round-4: fused Pallas super-steps + dynamic gains ---------------------
+
+
+def test_sharded_stream_fused_pallas():
+    """Fused super-step (production Pallas class kernel inside the shard,
+    interpret mode on CPU) == the one-shot chain and the XLA stream."""
+    import jax.numpy as jnp
+
+    from dsp_audio_project_tpu import AudioPipeline
+    from dsp_audio_project_tpu.streaming import ShardedStreamProcessor
+
+    fs, C, n = 44100, 2, 24000
+    x = np.stack([make_test_signal(n, fs, seed=31 + i) for i in range(C)])
+    cfg = PipelineConfig(
+        src=SRCConfig(L=160, M=147),
+        eq=EQConfig.from_gains({"Bass": 6, "High Mids": -4}),
+        kernels=KernelConfig(iir_block=1024, interpret=True),
+    )
+    mesh = _mesh(1, 2)
+    sp = ShardedStreamProcessor(cfg, fs, mesh, C, fused=True)
+    assert sp._fused
+    z = _stream_through(sp, x, [5000, 9000, n])
+
+    z_ref = np.asarray(AudioPipeline(cfg).jit_forward()(jnp.asarray(x), fs)[0])
+    assert z.shape == z_ref.shape
+    q = min(snr_db(z_ref[c], z[c]) for c in range(C))
+    assert q > 100.0, f"fused stream vs one-shot: {q:.1f} dB"
+
+    # And against the XLA (non-fused) stream with identical chunking.
+    cfg_x = PipelineConfig(src=cfg.src, eq=cfg.eq,
+                           kernels=KernelConfig(iir_block=1024))
+    z_xla = _stream_through(
+        ShardedStreamProcessor(cfg_x, fs, mesh, C, fused=False),
+        x, [5000, 9000, n],
+    )
+    q = min(snr_db(z_xla[c], z[c]) for c in range(C))
+    assert q > 100.0, f"fused vs XLA stream: {q:.1f} dB"
+
+
+def _all_gains(vals):
+    cfg = EQConfig()
+    names = [nm for nm, _ in cfg.band_centers]
+    return dict(zip(names, vals))
+
+
+def test_sharded_stream_dynamic_matches_static():
+    """Dynamic-mode stream (traced operators) == static-ops stream at the
+    same gains (all six bands active so the band-skip semantics agree)."""
+    from dsp_audio_project_tpu.streaming import ShardedStreamProcessor
+
+    fs, C, n = 44100, 2, 30000
+    gains = [6.0, -3.0, 2.0, 5.0, -7.0, 4.0]
+    x = np.stack([make_test_signal(n, fs, seed=41 + i) for i in range(C)])
+    cfg = PipelineConfig(
+        src=SRCConfig(L=160, M=147),
+        eq=EQConfig.from_gains(_all_gains(gains)),
+        kernels=KernelConfig(iir_block=1024),
+    )
+    mesh = _mesh(1, 2)
+    z_static = _stream_through(
+        ShardedStreamProcessor(cfg, fs, mesh, C), x, [8000, n]
+    )
+    sp = ShardedStreamProcessor(cfg, fs, mesh, C, gains_db=gains)
+    assert sp._dynamic
+    z_dyn = _stream_through(sp, x, [8000, n])
+    assert z_dyn.shape == z_static.shape
+    q = min(snr_db(z_static[c], z_dyn[c]) for c in range(C))
+    assert q > 80.0, f"dynamic vs static stream: {q:.1f} dB"
+
+
+def test_sharded_stream_set_gains_requires_dynamic():
+    from dsp_audio_project_tpu.streaming import ShardedStreamProcessor
+
+    cfg = _sharded_cfg(160, 147)
+    sp = ShardedStreamProcessor(cfg, 44100, _mesh(1, 2), 1)
+    with pytest.raises(RuntimeError):
+        sp.set_gains([0.0] * 6)
+
+
+def _seq_eq_quantized(y, gains, fs, s0):
+    """Independent sequential oracle: the f32-quantized Schur cascade run
+    sample by sample in float64 (state convention of ops/eq:
+    y[n] = C s[n-1] + D x[n]; s[n] = A s[n-1] + B x[n])."""
+    from dsp_audio_project_tpu.design.biquad import (
+        cascade_state_space, peaking_coeffs, schur_form,
+    )
+
+    cfg = EQConfig()
+    ceiling = (fs / 2.0) * cfg.nyquist_safety
+    sections = []
+    for (nm, fc), g in zip(cfg.band_centers, gains):
+        fc_eff = ceiling if fc >= ceiling else fc
+        sections.append(peaking_coeffs(fc_eff, fs, float(g), cfg.q))
+    ss = schur_form(cascade_state_space(sections))
+    A = ss.A.astype(np.float32).astype(np.float64)
+    B = ss.B.astype(np.float32).astype(np.float64)
+    C = ss.C.astype(np.float32).astype(np.float64)
+    D = float(np.float32(ss.D))
+    s = np.array(s0, np.float64)
+    out = np.empty_like(y, dtype=np.float64)
+    for i in range(len(y)):
+        out[i] = C @ s + D * y[i]
+        s = A @ s + B * y[i]
+    return np.clip(out, -1.0, 1.0), s
+
+
+def test_sharded_stream_midstream_gain_change():
+    """set_gains at a super-step boundary: no recompile, carry passes
+    through the change, and the result equals the segment-concat oracle
+    (old gains to the boundary, new gains from the carried state after)."""
+    import jax.numpy as jnp
+
+    from dsp_audio_project_tpu.ops.src import resample
+    from dsp_audio_project_tpu.streaming import ShardedStreamProcessor
+
+    fs, C, n = 44100, 1, 40000
+    gains_a = [6.0, -3.0, 2.0, 5.0, -7.0, 4.0]
+    gains_b = [-2.0, 8.0, -5.0, 1.0, 3.0, -6.0]
+    x = np.stack([make_test_signal(n, fs, seed=51)])
+    cfg = PipelineConfig(
+        src=SRCConfig(L=160, M=147),
+        eq=EQConfig.from_gains(_all_gains(gains_a)),
+        kernels=KernelConfig(iir_block=1024),
+    )
+    mesh = _mesh(1, 2)
+    sp = ShardedStreamProcessor(cfg, fs, mesh, C, gains_db=gains_a)
+    fn_before = sp._fn
+    part1 = sp.process(x[:, :22000])
+    fn_mid = sp._fn
+    sp.set_gains(gains_b)
+    part2 = np.concatenate(
+        [sp.process(x[:, 22000:]), sp.flush()], axis=1
+    )
+    assert sp._fn is fn_mid, "gain change must not rebuild the step"
+    z = np.concatenate([part1, part2], axis=1)
+    m = part1.shape[1]
+    assert m % (sp._F_sup * sp._P) == 0, "change landed off a step boundary"
+
+    fs_out = cfg.src.output_rate(fs)
+    y = np.asarray(resample(jnp.asarray(x[0]), fs, cfg.src)[0],
+                   dtype=np.float64)
+    z1, s1 = _seq_eq_quantized(y[:m], gains_a, fs_out, np.zeros(12))
+    z2, _ = _seq_eq_quantized(y[m:], gains_b, fs_out, s1)
+    want = np.concatenate([z1, z2])
+    assert z.shape == (C, want.shape[0])
+    q = snr_db(want, z[0].astype(np.float64))
+    assert q > 80.0, f"mid-stream change vs segment oracle: {q:.1f} dB"
+
+
+def test_sharded_stream_dynamic_fused_interpret():
+    """The full serving shape: dynamic gains + fused Pallas super-step
+    (interpret on CPU) agrees with the dynamic XLA stream."""
+    from dsp_audio_project_tpu.streaming import ShardedStreamProcessor
+
+    fs, C, n = 44100, 2, 20000
+    gains = [4.0, -6.0, 3.0, 2.0, -2.0, 5.0]
+    x = np.stack([make_test_signal(n, fs, seed=61 + i) for i in range(C)])
+    cfg_p = PipelineConfig(
+        src=SRCConfig(L=160, M=147),
+        eq=EQConfig.from_gains(_all_gains(gains)),
+        kernels=KernelConfig(iir_block=1024, interpret=True),
+    )
+    cfg_x = PipelineConfig(src=cfg_p.src, eq=cfg_p.eq,
+                           kernels=KernelConfig(iir_block=1024))
+    mesh = _mesh(1, 2)
+    z_p = _stream_through(
+        ShardedStreamProcessor(cfg_p, fs, mesh, C, fused=True,
+                               gains_db=gains), x, [9000, n],
+    )
+    z_x = _stream_through(
+        ShardedStreamProcessor(cfg_x, fs, mesh, C, fused=False,
+                               gains_db=gains), x, [9000, n],
+    )
+    assert z_p.shape == z_x.shape
+    q = min(snr_db(z_x[c], z_p[c]) for c in range(C))
+    assert q > 100.0, f"dynamic fused vs dynamic XLA: {q:.1f} dB"
