@@ -248,6 +248,45 @@ def main() -> None:
         eff = cyc / (cyc + build_dev_ms) * 100.0
         log(f"change+batch-8 cycle at host-built ops: {eff:.1f}% of "
             f"steady-state device throughput")
+        # Decompose the per-gain-change cost into host-numpy / upload /
+        # expand-dispatch so the cycle claim has a tunnel-independent basis
+        # (the wall figure above rides the remote tunnel's latency).
+        from dsp_audio_project_tpu.ops.eq_dynamic import (
+            _expand_dyn_operators, host_dyn_tables, upload_dyn_tables,
+        )
+
+        fs_out_b = cfg.src.output_rate(FS)
+        U_g, G_g, K_g = pipe.dynamic_eq_geometry(FS, n)
+        reps = 5
+        t0 = time.perf_counter()
+        tabs = None
+        for r in range(reps):
+            tabs = host_dyn_tables(gains_np + 0.5 * (r + 1), fs_out_b,
+                                   cfg.eq, U_g, G_g, K_g)
+        t_host = (time.perf_counter() - t0) / reps * 1e3
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            dev_tabs = upload_dyn_tables(tabs)
+            jax.block_until_ready([t for t in dev_tabs if t is not None])
+        t_up = (time.perf_counter() - t0) / reps * 1e3
+        jax.block_until_ready(_expand_dyn_operators(*dev_tabs))  # warm
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            jax.block_until_ready(_expand_dyn_operators(*dev_tabs))
+        t_exp = (time.perf_counter() - t0) / reps * 1e3
+        up_bytes = sum(
+            int(np.prod(t.shape)) * 4 for t in dev_tabs if t is not None
+        )
+        log(f"dynamic builder decomposition (per gain change): host numpy "
+            f"{t_host:.3f} ms, upload {t_up:.3f} ms wall ({up_bytes/1e6:.2f} "
+            f"MB), expand dispatch {t_exp:.3f} ms wall / {build_dev_ms:.3f} "
+            f"ms device")
+        # Tunnel-independent serving estimate: host compute + device expand
+        # (+ upload at PCIe-class bandwidth, negligible at this size).
+        local_change_ms = t_host + build_dev_ms
+        cyc_eff_local = cyc / (cyc + local_change_ms) * 100.0
+        log(f"tunnel-independent change cost ~{local_change_ms:.3f} ms -> "
+            f"change+batch-8 cycle {cyc_eff_local:.1f}% of steady state")
         zd, _ = fwd_dyn(jnp.asarray(x), dyn_ops, FS)
         qd = snr_db(want, np.asarray(zd).reshape(-1)[:n_out])
         log(f"dynamic-gains output snr vs oracle: {qd:.1f} dB (gate 60)")
@@ -257,6 +296,59 @@ def main() -> None:
             f"(gate 60)")
     except Exception as e:  # pragma: no cover
         log(f"dynamic path bench unavailable ({e})")
+
+    # Streaming steady-state (BASELINE config 5): ShardedStreamProcessor on
+    # a 1x1 mesh, 8 channels as the batch, Pallas fused super-steps with the
+    # carry resident on device.  Device time via profile_device_span (sums
+    # every super-step program); wall time reported for context only (the
+    # remote tunnel dominates it).
+    stream_sps = None
+    try:
+        from dsp_audio_project_tpu.config import MeshConfig
+        from dsp_audio_project_tpu.parallel.mesh import build_mesh
+        from dsp_audio_project_tpu.streaming import ShardedStreamProcessor
+        from dsp_audio_project_tpu.utils.deviceprof import profile_device_span
+
+        mesh1 = build_mesh(MeshConfig(channel_devices=1, block_devices=1))
+        C_st = 8
+        FL = 2048                       # frames per super-step
+        sp_st = ShardedStreamProcessor(cfg, FS, mesh1, C_st,
+                                       frames_per_shard=FL)
+        in_step = FL * sp_st._s         # input samples per channel per step
+        xs_mc = np.stack(
+            [x] + [(x + 0.01 * rng.standard_normal(n)).astype(np.float32)
+                   for _ in range(C_st - 1)]
+        )
+        n_steps = n // in_step
+        outs_st = [sp_st.process(xs_mc[:, :in_step])]   # compiles + warms
+        log(f"streaming: fused={sp_st._fused} super-step={FL} frames "
+            f"({in_step} in-samples/ch), {n_steps} steps over the 60 s "
+            f"signal, carry on device")
+
+        def stream_thunk():
+            for i in range(1, n_steps):
+                outs_st.append(
+                    sp_st.process(xs_mc[:, i * in_step : (i + 1) * in_step])
+                )
+            return outs_st[-1]
+
+        t0 = time.perf_counter()
+        st_ms, _ = profile_device_span(stream_thunk)
+        st_wall = (time.perf_counter() - t0) * 1e3
+        steps_done = n_steps - 1
+        if st_ms > 0:
+            stream_sps = steps_done * C_st * in_step / (st_ms / 1e3)
+            pct = stream_sps / sps * 100.0
+            log(f"streaming steady-state: {st_ms/steps_done:.3f} ms device "
+                f"per super-step -> {stream_sps/1e9:.2f} G input "
+                f"samples/s/chip ({pct:.1f}% of one-shot src+eq); wall "
+                f"{st_wall/steps_done:.1f} ms/step (tunnel-dominated)")
+        # SNR gate on the streamed output (channel 0 is the pure signal).
+        z_st = np.concatenate(outs_st, axis=1)
+        q_st = snr_db(want[: z_st.shape[1]], z_st[0])
+        log(f"streaming output snr vs oracle: {q_st:.1f} dB (gate 60)")
+    except Exception as e:  # pragma: no cover
+        log(f"streaming bench unavailable ({e})")
 
     # Reference-algorithm baseline on host CPU.  The reference's direct
     # full-rate convolution is O(N*L*T) and linear in N, so time a short
@@ -288,6 +380,8 @@ def main() -> None:
         "extra": {
             "src_eq_ms_per_60s_signal": round(dt * 1e3, 4),
             "full_chain_ms_per_60s_signal": round(dt_full * 1e3, 4),
+            **({"streaming_samples_per_sec_per_chip": round(stream_sps, 1)}
+               if stream_sps else {}),
         },
     }))
 

@@ -351,6 +351,25 @@ class AudioPipeline:
     # builder when a request carries new gains; jit_forward_frames_dynamic_ops
     # is the per-batch path, structurally identical to the static fused path.
 
+    def dynamic_eq_geometry(self, fs: int, n: int,
+                            groups_per_block: int = 128):
+        """(unroll, groups_per_block, num_blocks) the dynamic builders use
+        for ``n``-sample inputs — exposed so harnesses can call the builder
+        phases (host tables / upload / expand) with the exact serving
+        geometry."""
+        from ..kernels import fir_frames
+        from ..ops.src import make_plan
+
+        cfg = self.config
+        plan = make_plan(cfg.src.L, cfg.src.M, cfg.src.taps_rule_factor)
+        n_out = cfg.src.output_length(n)
+        shape = jax.eval_shape(
+            lambda x: fir_frames(x, plan, n_out, pad_frames=True),
+            jax.ShapeDtypeStruct((n,), jnp.float32),
+        ).shape
+        K = -(-shape[-2] // groups_per_block)
+        return plan.P, groups_per_block, K
+
     def dynamic_eq_operators(self, gains_db, fs: int, n: int,
                              groups_per_block: int = 128,
                              builder: str = "auto"):
@@ -365,7 +384,6 @@ class AudioPipeline:
         compile serves every gain vector); 'auto' picks 'host' for concrete
         gains and 'traced' under a trace.
         """
-        from ..kernels import fir_frames
         from ..ops.eq_dynamic import (
             build_dynamic_operators, build_dynamic_operators_host,
         )
@@ -373,15 +391,10 @@ class AudioPipeline:
 
         cfg = self.config
         plan = make_plan(cfg.src.L, cfg.src.M, cfg.src.taps_rule_factor)
-        n_out = cfg.src.output_length(n)
         fs_out = cfg.src.output_rate(fs)
         # Frame count including the kernel's pad_frames rounding, without
-        # running the kernel:
-        shape = jax.eval_shape(
-            lambda x: fir_frames(x, plan, n_out, pad_frames=True),
-            jax.ShapeDtypeStruct((n,), jnp.float32),
-        ).shape
-        K = -(-shape[-2] // groups_per_block)
+        # running the kernel (dynamic_eq_geometry wraps the eval_shape):
+        _, _, K = self.dynamic_eq_geometry(fs, n, groups_per_block)
         if builder == "auto":
             builder = (
                 "traced" if isinstance(gains_db, jax.core.Tracer) else "host"

@@ -602,6 +602,31 @@ def build_dynamic_operators_host(
     band; output always clipped by the apply).  Numerics match the static
     path: tables are consistent float64 views of the f32-quantized Schur
     system (design.biquad.block_operators' convention).
+
+    Cost structure (bench.py decomposes it): (1) host float64 numpy table
+    build (``host_dyn_tables``), (2) ~0.5 MB f32 upload, (3) one jitted
+    triangle expansion on device (``_expand_dyn_operators``).
+    """
+    tabs = host_dyn_tables(gains_db, fs, cfg, unroll, groups_per_block,
+                           num_blocks)
+    return _expand_dyn_operators(*upload_dyn_tables(tabs))
+
+
+def host_dyn_tables(
+    gains_db,
+    fs: int,
+    cfg: EQConfig = EQConfig(),
+    unroll: int = 128,
+    groups_per_block: int = 128,
+    num_blocks: Optional[int] = None,
+):
+    """Host-float64 half of the serving builder: the small numpy tables.
+
+    Returns (group_in (U, d), group_out_T (d, U), fir_T (U, U),
+    pows_g (G, d, d), A_blk (d, d), pk (K, d, d) | None) as float64 numpy —
+    everything ``_expand_dyn_operators`` needs.  Split out so the serving
+    cycle's host-compute, upload and device-dispatch costs can be measured
+    independently (VERDICT r3 item 6).
     """
     import numpy as np
 
@@ -635,15 +660,22 @@ def build_dynamic_operators_host(
     pk = None
     if K is not None and 1 < K and K * d <= _CARRY_DENSE_MAX_KD:
         pk = _host_powers(pg[G], K)                     # (K, d, d)
+    return (group_in, CA_u.T, fir.T, pg[:G], pg[G], pk)
+
+
+def upload_dyn_tables(tabs):
+    """f32-cast + device_put of host_dyn_tables' output (the upload phase)."""
+    import jax
 
     f32 = jnp.float32
-    return _expand_dyn_operators(
-        jnp.asarray(group_in, f32),
-        jnp.asarray(CA_u.T, f32),
-        jnp.asarray(fir.T, f32),
-        jnp.asarray(pg[:G], f32),
-        jnp.asarray(pg[G], f32),
-        None if pk is None else jnp.asarray(pk, f32),
+    group_in, out_t, fir_t, pows_g, A_blk, pk = tabs
+    return (
+        jax.device_put(jnp.asarray(group_in, f32)),
+        jax.device_put(jnp.asarray(out_t, f32)),
+        jax.device_put(jnp.asarray(fir_t, f32)),
+        jax.device_put(jnp.asarray(pows_g, f32)),
+        jax.device_put(jnp.asarray(A_blk, f32)),
+        None if pk is None else jax.device_put(jnp.asarray(pk, f32)),
     )
 
 
