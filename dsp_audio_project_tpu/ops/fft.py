@@ -231,12 +231,17 @@ def _rfft_kernel_plan(n: int):
     on v5e (bf16x3 fast mode, |X| fused) vs the XLA butterfly path:
     N=2048 2.1x, N=8192 1.3x (four-step); N=16384 2.3x, N=32768 1.9x
     (tall — both DFT stages on the MXU, rfft.py:_four_step_tall_kernel).
-    65536 and 131072 (long spectrogram windows) run the tall kernel at
-    row_tile=1 with a balanced split — one signal's (n2, n1) grid plus the
-    DFT tables is ~5-8 MB of VMEM, where the rt=8 tile of round 2 blew the
-    ~16 MB budget.  Measured on v5e (fast mode, |X| fused, ~4e-6 rel):
+    65536+ (long spectrogram windows) run the tall kernel at row_tile=1
+    with a balanced split — one signal's (n2, n1) grid plus the DFT tables
+    stays inside the ~16 MB VMEM budget, where the rt=8 tile of round 2
+    blew it.  Measured on v5e (fast mode, |X| fused, ~4e-6 rel):
     N=65536 0.107 ms/16 rows = 5.6x the butterfly; N=131072 0.121 ms/8
-    rows = 9.6x.  Above 131072 the butterfly path takes over.
+    rows = 9.6x; N=262144 runs the balanced n1=n2=512 split (~12 MB VMEM;
+    measure with scripts/rfft_sweep.py — STATUS.md r4 records the number).
+    524288 exceeds VMEM in every single-pass split (the (n2, n2) row-DFT
+    table alone is 16 MB f32-pair at n2=1024); an HBM-staged two-level
+    kernel is the documented next step, and the butterfly path takes over
+    there.
     """
     n1 = _four_step_kernel_n1(n)
     if n1 is not None:
@@ -247,6 +252,8 @@ def _rfft_kernel_plan(n: int):
         return ("tall", (1, 128))     # n1 = 512
     if n == 131072:
         return ("tall", (1, 256))     # n1 = 512, (256,256) row-DFT table
+    if n == 262144:
+        return ("tall", (1, 512))     # n1 = n2 = 512, balanced split
     return None
 
 
@@ -277,7 +284,7 @@ def rfft_magnitude(
     plan = _rfft_kernel_plan(x.shape[-1])
     if engine == "pallas" and plan is None:
         raise ValueError(
-            f"engine='pallas' requires a power-of-two N in [256, 131072], "
+            f"engine='pallas' requires a power-of-two N in [256, 262144], "
             f"got {x.shape[-1]}"
         )
     use_kernel = engine == "pallas" or (

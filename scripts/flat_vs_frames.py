@@ -9,8 +9,11 @@ oracle.  Decides which path bench.py should route (VERDICT r2 item 3).
 """
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax

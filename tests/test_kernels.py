@@ -396,11 +396,12 @@ def test_rfft_kernel_plan_routing():
     assert _rfft_kernel_plan(32768) == ("tall", (8, 128))
     assert _rfft_kernel_plan(65536) == ("tall", (1, 128))
     assert _rfft_kernel_plan(131072) == ("tall", (1, 256))
-    assert _rfft_kernel_plan(262144) is None
+    assert _rfft_kernel_plan(262144) == ("tall", (1, 512))
+    assert _rfft_kernel_plan(524288) is None
     assert _rfft_kernel_plan(3000) is None
 
 
-@pytest.mark.parametrize("n,n2", [(65536, 128), (131072, 256)])
+@pytest.mark.parametrize("n,n2", [(65536, 128), (131072, 256), (262144, 512)])
 def test_rfft_tall_kernel_large_sizes(n, n2, rng):
     """Long-spectrogram-window sizes: row_tile=1 keeps one (n2, n1) grid in
     VMEM where the rt=8 tile exceeded it (VERDICT round-2 item 4)."""
