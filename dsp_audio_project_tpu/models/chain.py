@@ -195,26 +195,37 @@ class AudioPipeline:
     # measures the declared SRC+EQ+FFT chain (BASELINE.json metric).
 
     def _forward_frames_spectra(self, x: jnp.ndarray, fs: int):
-        """(x, fs) -> (z_frames, y_frames, (mag_x, mag_y, mag_z))."""
-        from ..ops.spectrum import spectrum_mag, spectrum_mag_frames
+        """(x, fs) -> (z_frames, y_frames, (mag_x, mag_y, mag_z)).
+
+        The three per-render spectra (app.py:202-205) run as ONE batched
+        rFFT kernel call (spectra_mag_stacked) — three separate 2048-point
+        launches each pay the small-kernel floor."""
+        from ..ops.spectrum import (
+            spectra_mag_stacked, spectrum_window, spectrum_window_frames,
+        )
 
         zf, yf = self._forward_frames(x, fs)
         cfg = self.config
         n_out = cfg.src.output_length(x.shape[-1])
         scfg = cfg.spectrum
-        mx = spectrum_mag(x, scfg)
-        my = spectrum_mag_frames(yf, n_out, scfg)
-        mz = spectrum_mag_frames(zf, n_out, scfg)
+        mx, my, mz = spectra_mag_stacked([
+            spectrum_window(x, scfg),
+            spectrum_window_frames(yf, n_out, scfg),
+            spectrum_window_frames(zf, n_out, scfg),
+        ])
         return zf, yf, (mx, my, mz)
 
     def _forward_spectra(self, x: jnp.ndarray, fs: int):
         """Flat-path full chain: (x, fs) -> (z, y, (mag_x, mag_y, mag_z))."""
-        from ..ops.spectrum import spectrum_mag
+        from ..ops.spectrum import spectra_mag_stacked, spectrum_window
 
         z, y = self._forward(x, fs)
         scfg = self.config.spectrum
-        return z, y, (spectrum_mag(x, scfg), spectrum_mag(y, scfg),
-                      spectrum_mag(z, scfg))
+        mx, my, mz = spectra_mag_stacked([
+            spectrum_window(x, scfg), spectrum_window(y, scfg),
+            spectrum_window(z, scfg),
+        ])
+        return z, y, (mx, my, mz)
 
     # ---- flat 128-lane fast path ----------------------------------------
     #
@@ -264,12 +275,15 @@ class AudioPipeline:
         return z, y
 
     def _forward_flat_spectra(self, x: jnp.ndarray, fs: int):
-        from ..ops.spectrum import spectrum_mag
+        from ..ops.spectrum import spectra_mag_stacked, spectrum_window
 
         z, y = self._forward_flat(x, fs)
         scfg = self.config.spectrum
-        return z, y, (spectrum_mag(x, scfg), spectrum_mag(y, scfg),
-                      spectrum_mag(z, scfg))
+        mx, my, mz = spectra_mag_stacked([
+            spectrum_window(x, scfg), spectrum_window(y, scfg),
+            spectrum_window(z, scfg),
+        ])
+        return z, y, (mx, my, mz)
 
     def jit_forward_flat(self):
         """Jitted flat-layout (x, fs) -> (z, y); see flat_supported."""

@@ -93,6 +93,56 @@ def spectrum_mag(
     return _windowed_rfft_mag(x[..., :n], start, m)
 
 
+def spectrum_window(
+    x: jnp.ndarray, cfg: SpectrumConfig = SpectrumConfig()
+) -> jnp.ndarray:
+    """The windowed (..., m) analysis segment of (..., N) — spectrum_mag
+    minus the FFT, so a caller can stack several signals' segments and run
+    ONE batched rFFT kernel over all of them (spectra_mag_stacked)."""
+    start, m, n = spectrum_segment(x.shape[-1], cfg)
+    xn = x[..., :n]
+    avail = min(m, n - start)
+    seg = xn[..., start : start + avail]
+    if avail < m:
+        seg = jnp.pad(seg, [(0, 0)] * (x.ndim - 1) + [(0, m - avail)])
+    return seg.astype(jnp.float32) * jnp.asarray(_hann(m))
+
+
+def spectrum_window_frames(
+    frames: jnp.ndarray, n_flat: int, cfg: SpectrumConfig = SpectrumConfig()
+) -> jnp.ndarray:
+    """spectrum_mag_frames minus the FFT (see spectrum_window)."""
+    P = frames.shape[-1]
+    start, m, n = spectrum_segment(n_flat, cfg)
+    avail = min(m, n - start)
+    r0 = start // P
+    r1 = -(-(start + avail) // P)
+    rows = frames[..., r0:r1, :]
+    flat = rows.reshape(rows.shape[:-2] + ((r1 - r0) * P,))
+    off = start - r0 * P
+    seg = flat[..., off : off + avail]
+    if avail < m:
+        seg = jnp.pad(seg, [(0, 0)] * (seg.ndim - 1) + [(0, m - avail)])
+    return seg.astype(jnp.float32) * jnp.asarray(_hann(m))
+
+
+def spectra_mag_stacked(segs):
+    """|rfft| of several same-width windowed segments in ONE kernel call.
+
+    The full-chain forward computes three 2048-point spectra per render
+    (x, y, z — app.py:202-205); as three separate calls each pays the
+    small-kernel launch floor.  Stacking them on a new leading axis makes
+    one (3*B, m) batch — one launch, same results.  Falls back to
+    per-segment calls when widths differ (mixed-length corner configs).
+    """
+    m = segs[0].shape[-1]
+    if any(s.shape != segs[0].shape for s in segs[1:]):
+        return [rfft_magnitude(s) for s in segs]
+    stacked = jnp.stack(segs, axis=0)
+    mags = rfft_magnitude(stacked)
+    return [mags[i] for i in range(len(segs))]
+
+
 def spectrum_mag_frames(
     frames: jnp.ndarray, n_flat: int, cfg: SpectrumConfig = SpectrumConfig()
 ) -> jnp.ndarray:

@@ -150,3 +150,32 @@ def test_spectrum_freqs_matches_magnitude_spectrum(rng):
         x = rng.standard_normal(n).astype(np.float32)
         fw, _ = magnitude_spectrum(jnp.asarray(x), fs)
         np.testing.assert_allclose(spectrum_freqs(n, fs), fw)
+
+
+def test_spectra_mag_stacked_matches_separate():
+    """One-launch stacked spectra == per-signal spectrum_mag exactly."""
+    import jax.numpy as jnp
+
+    from dsp_audio_project_tpu.config import SpectrumConfig
+    from dsp_audio_project_tpu.ops.spectrum import (
+        spectra_mag_stacked, spectrum_mag, spectrum_window,
+    )
+
+    rng = np.random.default_rng(0)
+    cfg = SpectrumConfig()
+    sigs = [jnp.asarray(rng.standard_normal((2, n)).astype(np.float32))
+            for n in (50000, 50000, 50000)]
+    stacked = spectra_mag_stacked([spectrum_window(s, cfg) for s in sigs])
+    for got, s in zip(stacked, sigs):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(spectrum_mag(s, cfg)), rtol=0,
+            atol=1e-5,
+        )
+    # Mixed widths fall back to per-segment calls, same results.
+    mixed = [jnp.asarray(rng.standard_normal((500,)).astype(np.float32)),
+             jnp.asarray(rng.standard_normal((50000,)).astype(np.float32))]
+    outs = spectra_mag_stacked([spectrum_window(s, cfg) for s in mixed])
+    for got, s in zip(outs, mixed):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(spectrum_mag(s, cfg)), atol=1e-5,
+        )
