@@ -94,6 +94,12 @@ def build_parser() -> argparse.ArgumentParser:
              "devices (e.g. --mesh 2x4); requires C*B <= len(jax.devices())",
     )
     p.add_argument(
+        "--stream-chunk", metavar="SECONDS", type=float, default=None,
+        help="process the signal as a stream of chunks of this many seconds "
+             "through the checkpointable streaming engine (bit-consistent "
+             "with one-shot; combine with --mesh to shard the super-steps)",
+    )
+    p.add_argument(
         "--examples-dir", metavar="DIR", default=None,
         help="directory of example audio files for example:<name> sources "
              "(default: $DSP_EXAMPLES_DIR or ./examples)",
@@ -115,6 +121,88 @@ def _parse_mesh(text: str):
     if not sep or mc < 1 or mb < 1:
         return None
     return mc, mb
+
+
+def _run_streaming(args, cfg, x, fs) -> int:
+    """--stream-chunk: chunked processing through ShardedStreamProcessor.
+
+    Bit-consistent with the one-shot chain for any chunk size (gated in
+    tests/test_streaming.py); --mesh shards each super-step over devices.
+    The streamed engine emits only z (the EQ output); a --spectra request
+    computes the resampled view from the signal's analysis prefix (the
+    spectra read at most ``analysis_limit`` samples, app.py:202).
+    """
+    import jax
+
+    from .config import MeshConfig
+    from .ops.spectrum import magnitude_spectrum
+    from .parallel.mesh import build_mesh
+    from .streaming import ShardedStreamProcessor
+
+    if args.mesh:
+        parsed = _parse_mesh(args.mesh)
+        if parsed is None:
+            print(f"error: bad --mesh {args.mesh!r}", file=sys.stderr)
+            return 2
+        mc, mb = parsed
+        if mc * mb > len(jax.devices()):
+            print(f"error: mesh {mc}x{mb} needs {mc*mb} devices",
+                  file=sys.stderr)
+            return 2
+    else:
+        mc, mb = 1, 1
+    mesh = build_mesh(MeshConfig(channel_devices=mc, block_devices=mb))
+    x2 = np.atleast_2d(np.asarray(x))
+    chunk = max(1, int(args.stream_chunk * fs))
+    sp = ShardedStreamProcessor(cfg, fs, mesh, x2.shape[0])
+    outs = [
+        sp.process(x2[:, pos : pos + chunk])
+        for pos in range(0, x2.shape[1], chunk)
+    ]
+    outs.append(sp.flush())
+    z = np.concatenate(outs, axis=1)
+    fs_out = cfg.src.output_rate(fs)
+    if x.ndim == 1:
+        z = z[0]
+
+    n_chunks = -(-x2.shape[1] // chunk)
+    ch = f"{x2.shape[0]}ch " if x.ndim == 2 else ""
+    print(
+        f"{args.input}: {ch}{x2.shape[1]} samples @ {fs} Hz -> "
+        f"{z.shape[-1]} samples @ {fs_out} Hz "
+        f"(streamed, {n_chunks} chunks of {chunk}, mesh {mc}x{mb}, "
+        f"L={args.expand}, M={args.decimate})"
+    )
+    if args.output:
+        export_wav(z, fs_out, args.output)
+        print(f"wrote {args.output}")
+    if args.spectra:
+        from .ops.src import resample
+
+        scfg = cfg.spectrum
+        cap = scfg.analysis_limit or x2.shape[1]
+        # The resampled view's spectrum reads y[:cap]; compute it from the
+        # input prefix that fully determines it ('same' centering reads
+        # ahead by at most the filter width).
+        n_need = min(
+            x2.shape[1], -(-cap * cfg.src.M) // max(1, cfg.src.L)
+            + cfg.src.num_taps
+        )
+        y_head = np.asarray(resample(x2[:, :n_need], fs, cfg.src)[0])[:, :cap]
+        if x.ndim == 1:
+            y_head = y_head[0]
+        payload = {
+            key: {"freqs_hz": f.tolist(), "magnitude": np.asarray(m).tolist()}
+            for key, (f, m) in {
+                "input": magnitude_spectrum(x, fs, scfg),
+                "resampled": magnitude_spectrum(y_head, fs_out, scfg),
+                "output": magnitude_spectrum(z, fs_out, scfg),
+            }.items()
+        }
+        with open(args.spectra, "w") as fh:
+            json.dump(payload, fh)
+        print(f"wrote {args.spectra}")
+    return 0
 
 
 def main(argv=None) -> int:
@@ -185,6 +273,8 @@ def main(argv=None) -> int:
         src=SRCConfig(L=args.expand, M=args.decimate),
         eq=EQConfig.from_gains(dict(args.gain)),
     )
+    if args.stream_chunk:
+        return _run_streaming(args, cfg, x, fs)
     if args.mesh:
         import jax
 

@@ -226,3 +226,51 @@ def test_cli_example_directory(tmp_path, capsys, rng):
     assert resolve_example("tones", str(tmp_path / "missing"))[1] == 44100
     with pytest.raises(ValueError):
         resolve_example("FastCar.wav", str(tmp_path / "missing"))
+
+
+def test_cli_stream_chunk(tmp_path, rng):
+    """--stream-chunk routes through the streaming engine; output matches
+    the one-shot CLI run, with and without a mesh."""
+    from dsp_audio_project_tpu.cli import main
+
+    fs = 16000
+    mono = (rng.standard_normal(24000) * 12000).astype(np.int16)
+    src = str(tmp_path / "s.wav")
+    write_wav(src, fs, mono[:, None])
+    one = str(tmp_path / "s_one.wav")
+    assert main([src, one, "-L", "3", "-M", "2", "-g", "Bass=6"]) == 0
+    st = str(tmp_path / "s_st.wav")
+    assert main([src, st, "-L", "3", "-M", "2", "-g", "Bass=6",
+                 "--stream-chunk", "0.33"]) == 0
+    y1, f1 = read_wav(one)
+    y2, f2 = read_wav(st)
+    assert f1 == f2 and y1.shape == y2.shape
+    np.testing.assert_allclose(
+        y1.astype(np.float64), y2.astype(np.float64), atol=2.0
+    )
+    # sharded super-steps + spectra sidecar
+    stm = str(tmp_path / "s_stm.wav")
+    spec = str(tmp_path / "s_spec.json")
+    assert main([src, stm, "-L", "3", "-M", "2", "-g", "Bass=6",
+                 "--stream-chunk", "0.25", "--mesh", "1x4",
+                 "--spectra", spec]) == 0
+    y3, _ = read_wav(stm)
+    np.testing.assert_allclose(
+        y1.astype(np.float64), y3.astype(np.float64), atol=2.0
+    )
+    import json as _json
+
+    with open(spec) as fh:
+        payload = _json.load(fh)
+    assert set(payload) == {"input", "resampled", "output"}
+    # streamed spectra == one-shot CLI spectra (prefix-resample exactness)
+    spec1 = str(tmp_path / "s_spec1.json")
+    assert main([src, str(tmp_path / "x.wav"), "-L", "3", "-M", "2",
+                 "-g", "Bass=6", "--spectra", spec1]) == 0
+    with open(spec1) as fh:
+        payload1 = _json.load(fh)
+    for k in payload:
+        np.testing.assert_allclose(
+            payload[k]["magnitude"], payload1[k]["magnitude"], atol=1e-4,
+            err_msg=k,
+        )
