@@ -53,6 +53,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from dsp_audio_project_tpu.utils.compcache import enable as _cc
+
+    _cc()  # persistent compile cache: tunnel compiles cost minutes on bad days
+
     from dsp_audio_project_tpu import (
         AudioPipeline, EQConfig, PipelineConfig, SRCConfig,
     )

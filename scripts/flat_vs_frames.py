@@ -22,6 +22,9 @@ import jax.numpy as jnp
 from dsp_audio_project_tpu import (
     AudioPipeline, EQConfig, PipelineConfig, SRCConfig,
 )
+from dsp_audio_project_tpu.utils.compcache import enable as _enable_cache
+
+_enable_cache()
 from dsp_audio_project_tpu.config import KernelConfig
 from dsp_audio_project_tpu.oracle import pipeline_oracle, snr_db
 from dsp_audio_project_tpu.utils.deviceprof import profile_device_ops
@@ -55,6 +58,7 @@ def main():
         f"flat_supported={pipe.flat_supported(n)}")
 
     B = 8
+    t0 = time.perf_counter()
     xs = np.stack([(x + 0.01 * rng.standard_normal(n)).astype(np.float32)
                    for _ in range(B)])
     v_warm = jax.device_put(jnp.asarray(xs))
@@ -63,8 +67,11 @@ def main():
                     for _ in range(B)])
     v_prof = jax.device_put(jnp.asarray(xs2))
     v_prof.block_until_ready()
+    log(f"batches uploaded in {time.perf_counter()-t0:.1f}s")
 
+    t0 = time.perf_counter()
     want, _ = pipeline_oracle(x, FS, cfg.src, cfg.eq, engine="fast")
+    log(f"oracle computed in {time.perf_counter()-t0:.1f}s")
 
     def bench(name, fn_maker, crop):
         fn = fn_maker()

@@ -20,7 +20,10 @@ import jax
 import jax.numpy as jnp
 
 from dsp_audio_project_tpu.ops.fft import _rfft_kernel_plan, rfft_magnitude
+from dsp_audio_project_tpu.utils.compcache import enable as _enable_cache
 from dsp_audio_project_tpu.utils.deviceprof import profile_device_ops
+
+_enable_cache()
 
 
 def log(m):
