@@ -285,6 +285,24 @@ class ShardedStreamProcessor:
 
     One compiled executable serves the whole stream regardless of chunk
     sizes (chunks buffer to fixed super-steps — the serving-friendly shape).
+
+    Round-4 serving upgrades:
+
+    * **Fused super-steps** (``fused=None`` auto-selects on TPU or in
+      interpret mode): the per-shard SRC runs the production Pallas
+      class/shear kernel and the EQ consumes its frames at unroll = P —
+      no lane retile; fused steps emit frame-major output whose flat view
+      is free on host.
+    * **Device-resident carry**: the EQ state never round-trips to host
+      between super-steps; ``process``/``flush`` dispatch every ready step
+      back to back and fetch afterwards, so step k+1's upload and launch
+      overlap step k's execution and fetch.
+    * **Dynamic gains** (construct with ``gains_db=[...]``): the EQ
+      operators become traced inputs of the compiled step
+      (ops/eq_dynamic.DynStreamOperators, host-float64 builder);
+      ``set_gains`` swaps them at a super-step boundary with zero
+      recompile, the carry passing through the change un-reset (the
+      live-lfilter slider model, app.py:158-167, applied mid-stream).
     """
 
     def __init__(

@@ -282,3 +282,53 @@ def test_pipeline_host_builder_matches_oracle():
     )
     q = snr_db(want, np.asarray(z).reshape(-1)[:n_out])
     assert q > 95.0, f"{q:.1f} dB"
+
+
+def test_stream_operators_host_tables():
+    """DynStreamOperators: block tables equal the plain host builder's and
+    the carry tables equal float64 matrix-power references."""
+    from dsp_audio_project_tpu.ops.eq_dynamic import (
+        build_dynamic_operators_host, build_dynamic_stream_operators_host,
+    )
+
+    fs = 48000
+    gains = np.array([6.0, -3.0, 2.0, 5.0, -7.0, 4.0])
+    U, G, K, nb = 160, 16, 4, 4
+    dso = build_dynamic_stream_operators_host(
+        gains, fs, EQConfig(), unroll=U, groups_per_block=G,
+        num_blocks=K, num_shards=nb,
+    )
+    ops = build_dynamic_operators_host(
+        gains, fs, EQConfig(), unroll=U, groups_per_block=G, num_blocks=None,
+    )
+    for name in ("group_in", "group_out", "fir_t", "toe", "pows_g", "A_blk"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(dso.ops, name)), np.asarray(getattr(ops, name)),
+            err_msg=name,
+        )
+    d = dso.ops.A_blk.shape[0]
+    A_blk = np.asarray(dso.ops.A_blk, np.float64)
+    pk = np.asarray(dso.pk)
+    assert pk.shape == (K, d, d)
+    np.testing.assert_allclose(pk[1], np.asarray(dso.ops.A_blk), atol=0)
+    A_sh = np.linalg.matrix_power(A_blk, K)
+    pow_nb = np.asarray(dso.pow_nb)
+    np.testing.assert_allclose(pow_nb[1], A_sh.astype(np.float32), atol=1e-6)
+    w = np.asarray(dso.weights)
+    assert w.shape == (nb, nb, d, d)
+    np.testing.assert_allclose(w[2, 1], np.eye(d), atol=0)   # dst-1-src == 0
+    np.testing.assert_allclose(w[3, 1], pow_nb[1], atol=0)
+    assert np.all(w[0] == 0.0)                               # no src < dst=0
+    w_out = np.asarray(dso.w_out)
+    np.testing.assert_allclose(w_out[nb - 1], np.eye(d), atol=0)
+    # carry_loc maps [0, e_0 .. e_{K-2}] -> sigma_k = sum pk[k-1-i] e_i
+    cl = np.asarray(dso.carry_loc)
+    rng = np.random.default_rng(0)
+    e = rng.standard_normal((K, d)).astype(np.float32)
+    vecs = np.concatenate([np.zeros((1, d), np.float32), e[: K - 1]])
+    got = (vecs.reshape(-1) @ cl).reshape(K, d)
+    want = np.zeros((K, d))
+    for k in range(K):
+        for i in range(k):
+            want[k] += pk[k - 1 - i] @ e[i]
+    np.testing.assert_allclose(got, want.astype(np.float32), atol=1e-4)
