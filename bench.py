@@ -286,11 +286,17 @@ def main() -> None:
             f"MB), expand dispatch {t_exp:.3f} ms wall / {build_dev_ms:.3f} "
             f"ms device")
         # Tunnel-independent serving estimate: host compute + device expand
-        # (+ upload at PCIe-class bandwidth, negligible at this size).
+        # (+ upload at PCIe-class bandwidth, negligible at this size).  Two
+        # framings: fully-serial (host build blocks the device) and
+        # pipelined (a server overlaps the next change's host numpy with
+        # the current batch; only the device expand serializes).
         local_change_ms = t_host + build_dev_ms
         cyc_eff_local = cyc / (cyc + local_change_ms) * 100.0
-        log(f"tunnel-independent change cost ~{local_change_ms:.3f} ms -> "
-            f"change+batch-8 cycle {cyc_eff_local:.1f}% of steady state")
+        cyc_eff_pipe = cyc / (cyc + max(build_dev_ms, t_host - cyc)) * 100.0
+        log(f"tunnel-independent change cost ~{local_change_ms:.3f} ms "
+            f"(host {t_host:.3f} + device {build_dev_ms:.3f}) -> "
+            f"change+batch-8 cycle {cyc_eff_local:.1f}% serial, "
+            f"{cyc_eff_pipe:.1f}% with host build pipelined")
         zd, _ = fwd_dyn(jnp.asarray(x), dyn_ops, FS)
         qd = snr_db(want, np.asarray(zd).reshape(-1)[:n_out])
         log(f"dynamic-gains output snr vs oracle: {qd:.1f} dB (gate 60)")
@@ -315,19 +321,28 @@ def main() -> None:
 
         mesh1 = build_mesh(MeshConfig(channel_devices=1, block_devices=1))
         C_st = 8
-        FL = 2048                       # frames per super-step
+        # Super-step size from the round-4 sweep (scripts/stream_sweep.py):
+        # the class kernel's per-step fixed cost (~0.18 ms: operator-bank
+        # DMA + small-grid launch floor) amortizes with step size — FL=2048
+        # measured 45% of one-shot, 4096 73%, 8192 88.6%.
+        FL = 8192                       # frames per super-step
+        sec_st = 120.0                  # longer signal: 7 steady-state steps
+        n_st = int(sec_st * FS)
+        x_st = make_signal(n_st, FS)
         sp_st = ShardedStreamProcessor(cfg, FS, mesh1, C_st,
                                        frames_per_shard=FL)
         in_step = FL * sp_st._s         # input samples per channel per step
         xs_mc = np.stack(
-            [x] + [(x + 0.01 * rng.standard_normal(n)).astype(np.float32)
-                   for _ in range(C_st - 1)]
+            [x_st] + [
+                (x_st + 0.01 * rng.standard_normal(n_st)).astype(np.float32)
+                for _ in range(C_st - 1)
+            ]
         )
-        n_steps = n // in_step
+        n_steps = n_st // in_step
         outs_st = [sp_st.process(xs_mc[:, :in_step])]   # compiles + warms
         log(f"streaming: fused={sp_st._fused} super-step={FL} frames "
-            f"({in_step} in-samples/ch), {n_steps} steps over the 60 s "
-            f"signal, carry on device")
+            f"({in_step} in-samples/ch), {n_steps} steps over a "
+            f"{sec_st:.0f} s signal, carry on device")
 
         def stream_thunk():
             for i in range(1, n_steps):
@@ -349,7 +364,12 @@ def main() -> None:
                 f"{st_wall/steps_done:.1f} ms/step (tunnel-dominated)")
         # SNR gate on the streamed output (channel 0 is the pure signal).
         z_st = np.concatenate(outs_st, axis=1)
-        q_st = snr_db(want[: z_st.shape[1]], z_st[0])
+        want_st, _ = pipeline_oracle(
+            x_st[: min(n_st, (z_st.shape[1] * cfg.src.M) // cfg.src.L
+                       + cfg.src.num_taps)],
+            FS, cfg.src, cfg.eq, engine="fast",
+        )
+        q_st = snr_db(want_st[: z_st.shape[1]], z_st[0])
         log(f"streaming output snr vs oracle: {q_st:.1f} dB (gate 60)")
     except Exception as e:  # pragma: no cover
         log(f"streaming bench unavailable ({e})")
