@@ -219,13 +219,34 @@ def _four_step_tall_kernel(x_ref, d1_ref, tw_ref, d2_ref, o_ref, *, rt,
     n2 = x_ref.shape[-2]
     n1 = x_ref.shape[-1]
     x2 = x_ref[0].reshape(rt * n2, n1)
-    d1r = d1_ref[0]
-    d1i = d1_ref[1]
     hi = jax.lax.Precision.HIGHEST if precision == "fast" else precision
 
     # Step 1: column DFT over j1 (real input -> two real matmuls).
-    ar = jnp.dot(x2, d1r, preferred_element_type=jnp.float32, precision=hi)
-    ai = jnp.dot(x2, d1i, preferred_element_type=jnp.float32, precision=hi)
+    if d1_ref.ndim == 4:
+        # bf16 hi/lo pair (n1 = 1024): weight-side bf16x3 (see _dot_nt,
+        # transposed — data on the left).
+        def dot3_w(a, wh, wl):
+            if precision != "fast":
+                return jnp.dot(
+                    a, wh.astype(jnp.float32) + wl.astype(jnp.float32),
+                    preferred_element_type=jnp.float32, precision=precision,
+                )
+            ah = a.astype(jnp.bfloat16)
+            al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+            acc = jnp.dot(ah, wh, preferred_element_type=jnp.float32)
+            acc += jnp.dot(al, wh, preferred_element_type=jnp.float32)
+            acc += jnp.dot(ah, wl, preferred_element_type=jnp.float32)
+            return acc
+
+        ar = dot3_w(x2, d1_ref[0, 0], d1_ref[1, 0])
+        ai = dot3_w(x2, d1_ref[0, 1], d1_ref[1, 1])
+    else:
+        d1r = d1_ref[0]
+        d1i = d1_ref[1]
+        ar = jnp.dot(x2, d1r, preferred_element_type=jnp.float32,
+                     precision=hi)
+        ai = jnp.dot(x2, d1i, preferred_element_type=jnp.float32,
+                     precision=hi)
     # Step 2: twiddle W_n^{k1 j2}, elementwise over (rt, n2, n1).
     a3r = ar.reshape(rt, n2, n1)
     a3i = ai.reshape(rt, n2, n1)
@@ -255,11 +276,16 @@ def _dot_nt(w_pair, b, precision):
 
     Fast mode splits the DFT matrix (host-precomputed hi/lo halves) and the
     data once: w @ b = (wh + wl) @ (bh + bl) ~ wh bh + wl bh + wh bl.
+    The halves ship as true bf16 (exact values — halves the table's VMEM,
+    which is what lets the n2=512 split of N=262144 fit); full precision
+    reconstructs the exact f32 matrix as wh + wl (both casts exact).
     """
     wh, wl = w_pair
     if precision != "fast":
-        return jnp.dot(wh + wl, b, preferred_element_type=jnp.float32,
-                       precision=precision)
+        return jnp.dot(
+            wh.astype(jnp.float32) + wl.astype(jnp.float32), b,
+            preferred_element_type=jnp.float32, precision=precision,
+        )
     bh = b.astype(jnp.bfloat16)
     bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
     acc = jnp.dot(wh, bh, preferred_element_type=jnp.float32)
@@ -272,21 +298,29 @@ def _dot_nt(w_pair, b, precision):
 def _four_step_tall_tables(n: int, n2: int):
     """Host tables for the tall kernel: D1 (j1, k1), TW (j2, k1), D2 (k2, j2).
 
-    D2 ships as bf16 hi/lo pairs for the fast path (stacked (2, 2, n2, n2):
-    [hi/lo][real/imag]); D1/TW stay f32 (step 1 reads real data, and the
-    twiddle is elementwise — neither is an MXU cost center).
+    D2 ships as bf16 hi/lo pairs (exact split — reconstructable to f32;
+    halves the table's VMEM); TW stays f32 (elementwise, needs full
+    precision, linear size).  D1 stays f32 up to n1 = 512; at n1 = 1024
+    (N = 524288) its f32 form alone is 8 MB, so it ships as a bf16 hi/lo
+    pair too (stacked (2, 2, n1, n1)) and step 1 runs the weight-side
+    bf16x3 scheme.
     """
     import ml_dtypes
 
     n1 = n // n2
     d1 = np.exp(-2j * np.pi * np.outer(np.arange(n1), np.arange(n1)) / n1)
     d1 = np.stack([d1.real, d1.imag]).astype(np.float32)      # (2, j1, k1)
+    if n1 > 512:
+        d1h = d1.astype(ml_dtypes.bfloat16)
+        d1l = (d1 - d1h.astype(np.float32)).astype(ml_dtypes.bfloat16)
+        d1 = np.stack([d1h, d1l])                             # (2, 2, j1, k1)
     tw = np.exp(-2j * np.pi * np.outer(np.arange(n2), np.arange(n1)) / n)
     tw = np.stack([tw.real, tw.imag]).astype(np.float32)      # (2, j2, k1)
     d2 = np.exp(-2j * np.pi * np.outer(np.arange(n2), np.arange(n2)) / n2)
     d2f = np.stack([d2.real, d2.imag]).astype(np.float32)     # (2, k2, j2)
-    d2h = d2f.astype(ml_dtypes.bfloat16).astype(np.float32)
-    d2l = (d2f - d2h).astype(np.float32)
+    d2h = d2f.astype(ml_dtypes.bfloat16)
+    d2l = (d2f - d2h.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    # True-bf16 hi/lo pair: exact split, half the VMEM of an f32 pair.
     return d1, tw, np.stack([d2h, d2l])                       # (2, 2, n2, n2)
 
 
@@ -329,13 +363,21 @@ def rfft_pallas_four_step_tall(
         precision=precision,
     )
     planes = 1 if magnitude else 2
+    # The balanced n2=512 split (N=262144) sits just over the compiler's
+    # default 16 MB scoped-VMEM budget (tables ~6 MB + step temporaries);
+    # raise the cap for the big splits — physical VMEM accommodates it.
+    params = {}
+    if not interpret and n2 >= 512:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=(24 if n1 <= 512 else 48) * 1024 * 1024,
+        )
     out = pl.pallas_call(
         kern,
         grid=(r_tiles,),
         in_specs=[
             pl.BlockSpec((1, rt, n2, n1), lambda r: (r, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(d1.shape, lambda r: (0, 0, 0),
+            pl.BlockSpec(d1.shape, lambda r: (0,) * d1.ndim,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(tw.shape, lambda r: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -350,6 +392,7 @@ def rfft_pallas_four_step_tall(
             (r_tiles, rt, planes, n2, n1), jnp.float32
         ),
         interpret=interpret,
+        **params,
     )(x4, jnp.asarray(d1), jnp.asarray(tw), jnp.asarray(d2))
 
     # C[k2, k1] flattens straight to X[k1 + n1 k2]: crop to N//2+1.

@@ -232,16 +232,16 @@ def _rfft_kernel_plan(n: int):
     N=2048 2.1x, N=8192 1.3x (four-step); N=16384 2.3x, N=32768 1.9x
     (tall — both DFT stages on the MXU, rfft.py:_four_step_tall_kernel).
     65536+ (long spectrogram windows) run the tall kernel at row_tile=1
-    with a balanced split — one signal's (n2, n1) grid plus the DFT tables
-    stays inside the ~16 MB VMEM budget, where the rt=8 tile of round 2
-    blew it.  Measured on v5e (fast mode, |X| fused, ~4e-6 rel):
-    N=65536 0.107 ms/16 rows = 5.6x the butterfly; N=131072 0.121 ms/8
-    rows = 9.6x; N=262144 runs the balanced n1=n2=512 split (~12 MB VMEM;
-    measure with scripts/rfft_sweep.py — STATUS.md r4 records the number).
-    524288 exceeds VMEM in every single-pass split (the (n2, n2) row-DFT
-    table alone is 16 MB f32-pair at n2=1024); an HBM-staged two-level
-    kernel is the documented next step, and the butterfly path takes over
-    there.
+    with ever-larger splits, raising the scoped-VMEM cap and thinning the
+    DFT tables to exact bf16 hi/lo pairs as sizes grow.  Measured on v5e
+    (fast mode, |X| fused, 4-5e-6 rel; round-4 numbers from
+    scripts/rfft_sweep.py):
+    N=65536 0.107 ms/16 rows = 5.6x the XLA butterfly; N=131072 0.234 ms/
+    16 rows = 6.1x; N=262144 (balanced 512x512, 24 MB VMEM cap) 0.298 ms/
+    8 rows = 20.4x; N=524288 (n1=1024 with bf16-pair D1, 48 MB cap)
+    0.429 ms/4 rows = 26.7x.  Above 524288 the butterfly takes over (the
+    next split's tables + temporaries outgrow VMEM; an HBM-staged
+    two-level kernel is the documented next step).
     """
     n1 = _four_step_kernel_n1(n)
     if n1 is not None:
@@ -254,6 +254,8 @@ def _rfft_kernel_plan(n: int):
         return ("tall", (1, 256))     # n1 = 512, (256,256) row-DFT table
     if n == 262144:
         return ("tall", (1, 512))     # n1 = n2 = 512, balanced split
+    if n == 524288:
+        return ("tall", (1, 512))     # n1 = 1024: bf16-pair D1, 48 MB VMEM
     return None
 
 
@@ -284,7 +286,7 @@ def rfft_magnitude(
     plan = _rfft_kernel_plan(x.shape[-1])
     if engine == "pallas" and plan is None:
         raise ValueError(
-            f"engine='pallas' requires a power-of-two N in [256, 262144], "
+            f"engine='pallas' requires a power-of-two N in [256, 524288], "
             f"got {x.shape[-1]}"
         )
     use_kernel = engine == "pallas" or (

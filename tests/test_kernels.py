@@ -397,7 +397,8 @@ def test_rfft_kernel_plan_routing():
     assert _rfft_kernel_plan(65536) == ("tall", (1, 128))
     assert _rfft_kernel_plan(131072) == ("tall", (1, 256))
     assert _rfft_kernel_plan(262144) == ("tall", (1, 512))
-    assert _rfft_kernel_plan(524288) is None
+    assert _rfft_kernel_plan(524288) == ("tall", (1, 512))  # n1=1024, bf16 D1
+    assert _rfft_kernel_plan(1048576) is None
     assert _rfft_kernel_plan(3000) is None
 
 

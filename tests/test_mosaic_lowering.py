@@ -63,7 +63,8 @@ def test_rfft_kernels_lower_for_tpu():
             lower_tpu(lambda v: rfft_pallas_four_step(
                 v, n1=n1, magnitude=mag, precision="fast"), x)
     for n, (rt, n2) in ((16384, (16, 128)), (65536, (1, 128)),
-                        (131072, (1, 256))):
+                        (131072, (1, 256)), (262144, (1, 512)),
+                        (524288, (1, 512))):   # 524288: bf16-pair D1 path
         x = jnp.zeros((rt, n), jnp.float32)
         lower_tpu(lambda v: rfft_pallas_four_step_tall(
             v, row_tile=rt, n2=n2, magnitude=True, precision="fast"), x)
