@@ -16,16 +16,22 @@ def fir_frames(x, plan, n_out, *, kernel: str = "auto",
                pad_frames: bool = False, num_frames=None, pad_left=None):
     """Resample (..., N) -> frames (..., F, P) via the best Pallas kernel.
 
-    kernel: 'auto' (fastest measured for this plan) | 'class' | 'shear'.
-    Measured on TPU v5e (60 s 44.1k->48k signal, batch 8): class kernel
-    86 us/signal vs shear 209 us in bf16x3 fast mode — 'auto' prefers it.
+    kernel: 'auto' (fastest measured for this plan) | 'rect' | 'class' |
+    'shear'.  Measured on TPU v5e (60 s 44.1k->48k signal, batch 8, bf16x3
+    fast mode): rect kernel (group-rectangle manual-DMA input staging)
+    72 us/signal vs class 86 us vs shear 209 us — 'auto' prefers rect
+    (bitwise-identical outputs; same support envelope as class, s >= 8).
     """
-    from .fir_class import class_supported, polyphase_fir_class_frames
+    from .fir_class import (
+        class_supported, polyphase_fir_class_frames,
+        polyphase_fir_class_rect_frames,
+    )
     from .fir_shear import polyphase_fir_shear_frames
 
     if kernel == "auto":
-        kernel = "class" if class_supported(plan) else "shear"
+        kernel = "rect" if class_supported(plan) else "shear"
     fn = {
+        "rect": polyphase_fir_class_rect_frames,
         "class": polyphase_fir_class_frames,
         "shear": polyphase_fir_shear_frames,
     }[kernel]

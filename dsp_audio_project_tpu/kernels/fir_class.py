@@ -330,6 +330,234 @@ def polyphase_fir_class_flat(
     return flat[:, :n_out].reshape(lead + (n_out,))
 
 
+# ---- group-rectangle manual-DMA variant (round 4) --------------------------
+#
+# The BlockSpec kernel above fetches nc slabs per class: every (t, b) step
+# DMAs 24 (1, J, 128) slabs whose rows overlap heavily between classes —
+# measured ~2.6x refetch of the staged input (~27 MB/signal vs 10.9 unique).
+# Reformulating rows in VIRTUAL row space removes the mod-s wrap entirely:
+#
+#   frame f = 128k + rho starts at flat chunk  gb(rho) + s*k,
+#   so with  xv[b, r, j] = x_chunks[b, r + s*j]        (r = virtual row)
+#   class rho's slab for column c is  xv[b, gb(rho)+c, 0:Kp, :]  — the
+#   J-offset tables (d_tab) vanish, and one class GROUP's 24 slabs live in
+#   a contiguous row rectangle [r0(t), r0(t)+RG) with RG ~ ceil(7s/128)+nc.
+#
+# The kernel fetches that rectangle with ONE manually double-buffered DMA
+# per grid step (~RG*Kp*512 B, contiguous) — cutting x traffic to ~1.25x
+# unique — while banks/outputs keep their auto-pipelined BlockSpecs.
+
+
+@functools.lru_cache(maxsize=None)
+def _class_rect_geometry(s: int, W: int, w0: int):
+    """(nc, r0c, rrel2, RG, wr): virtual-row tables for the rect kernel.
+
+    Class rho, column c reads staged row gb[rho] + c in VIRTUAL row space
+    (gb = (w0 + s*rho) // 128; rows r >= s alias (r - s, j + 1) of the
+    standard (B, s, J, 128) staging — no extra staging buffer needed).
+    r0c[t] is group t's clamped rectangle base (min(r0, s - RG), so the
+    main rectangle stays inside [0, s)); rrel2[c, rho] is the scratch row
+    holding class rho's column c: gb+c - r0c in the main rectangle, or
+    RG + (gb+c - s) in the wrap tail fetched by a second tiny DMA from
+    rows [0, wr) at J-offset 1.
+    """
+    rho = np.arange(NUM_CLASSES)
+    start = w0 + s * rho
+    o = start % 128
+    gb = start // 128
+    nc = int(np.ceil((int(o.max()) + W) / 128.0))
+    n_groups = NUM_CLASSES // CLASS_GROUP
+    g = gb.reshape(n_groups, CLASS_GROUP)
+    RG = int((g[:, -1] - g[:, 0]).max()) + nc
+    r0c = np.minimum(g[:, 0], s - RG).astype(np.int32)
+    wr = max(0, int(gb.max()) + nc - s)   # wrap rows (rows >= s)
+    rrel2 = np.zeros((nc, NUM_CLASSES), np.int32)
+    for c in range(nc):
+        r = gb + c
+        base = np.repeat(r0c, CLASS_GROUP)
+        rrel2[c] = np.where(r < s, r - base, RG + (r - s))
+        assert (rrel2[c] >= 0).all() and (rrel2[c] < RG + max(wr, 1)).all()
+    return nc, r0c, rrel2, RG, wr
+
+
+def _class_rect_kernel(r0_ref, rrel_ref, x_hbm, bank_ref, out_ref, xbuf,
+                       sems, *, nc, Kp, P, RG, wr, B, n_groups, precision):
+    """One grid step: CLASS_GROUP classes from one row-rectangle.
+
+    xbuf: (2, RG + wr, Kp, 128) VMEM scratch, double-buffered; sems:
+    DMA((2, 2)).  The rectangle for step (t, b) is started by the PREVIOUS
+    step (prologue starts the first); each step waits its slot, kicks off
+    the next step's copies, then runs the same per-class matmuls as
+    _class_kernel with slabs sliced out of the resident rectangle.  Two
+    DMAs per step: the main rows [r0c, r0c+RG) x J[0:Kp], plus (wr > 0)
+    the wrap rows 0..wr at J[1:Kp+1] into the scratch tail.
+    """
+    t = pl.program_id(0)
+    b = pl.program_id(1)
+    step = t * B + b
+    slot = jax.lax.rem(step, 2)
+
+    def dma_main(t_i, b_i, slot_i):
+        return pltpu.make_async_copy(
+            x_hbm.at[b_i, pl.ds(r0_ref[t_i], RG), 0:Kp, :],
+            xbuf.at[slot_i, 0:RG],
+            sems.at[slot_i, 0],
+        )
+
+    def dma_wrap(b_i, slot_i):
+        return pltpu.make_async_copy(
+            x_hbm.at[b_i, 0:wr, 1 : Kp + 1, :],
+            xbuf.at[slot_i, RG : RG + wr],
+            sems.at[slot_i, 1],
+        )
+
+    def start_all(t_i, b_i, slot_i):
+        dma_main(t_i, b_i, slot_i).start()
+        if wr:
+            dma_wrap(b_i, slot_i).start()
+
+    @pl.when(step == 0)
+    def _():
+        start_all(t, b, slot)
+
+    dma_main(t, b, slot).wait()
+    if wr:
+        dma_wrap(b, slot).wait()
+
+    @pl.when(step + 1 < n_groups * B)
+    def _():
+        last_b = b == B - 1
+        t_n = jnp.where(last_b, t + 1, t)
+        b_n = jnp.where(last_b, 0, b + 1)
+        start_all(t_n, b_n, 1 - slot)
+
+    for j in range(CLASS_GROUP):
+        rho = t * CLASS_GROUP + j
+        acc = None
+        for c in range(nc):
+            sl = xbuf[slot, rrel_ref[c, rho]]         # (Kp, 128)
+            if precision == "fast":
+                fh = sl.astype(jnp.bfloat16)
+                fl = (sl - fh.astype(jnp.float32)).astype(jnp.bfloat16)
+                gh = bank_ref[0, j, 0, c * 128 : (c + 1) * 128, :]
+                gl = bank_ref[0, j, 1, c * 128 : (c + 1) * 128, :]
+                term = jnp.dot(fh, gh, preferred_element_type=jnp.float32)
+                term += jnp.dot(fl, gh, preferred_element_type=jnp.float32)
+                term += jnp.dot(fh, gl, preferred_element_type=jnp.float32)
+            else:
+                term = jnp.dot(
+                    sl, bank_ref[0, j, c * 128 : (c + 1) * 128, :],
+                    preferred_element_type=jnp.float32, precision=precision,
+                )
+            acc = term if acc is None else acc + term
+        out_ref[0, :, j, :] = acc
+
+
+def polyphase_fir_class_rect_frames(
+    x: jnp.ndarray,
+    plan: PolyphasePlan,
+    n_out: int,
+    *,
+    precision=jax.lax.Precision.HIGHEST,
+    interpret: bool = False,
+    pad_frames: bool = False,
+    num_frames: int | None = None,
+    pad_left: int | None = None,
+) -> jnp.ndarray:
+    """Class-major polyphase FIR with rectangle manual-DMA input staging.
+
+    Same contract and frame semantics as polyphase_fir_class_frames (same
+    pre-rotated banks, same output layout); differs only in how the staged
+    input reaches VMEM (see the section comment).  Requires s >= 8.
+    """
+    s, P, W = plan.s, plan.P, plan.W
+    if s < 8:
+        raise ValueError("class kernels target the wide-stride regime s>=8")
+    if W > 128 * s:
+        raise ValueError(f"frame width {W} exceeds one super-group {128*s}")
+    if x.ndim == 1:
+        return polyphase_fir_class_rect_frames(
+            x[None], plan, n_out, precision=precision, interpret=interpret,
+            pad_frames=pad_frames, num_frames=num_frames, pad_left=pad_left,
+        )[0]
+    lead = x.shape[:-1]
+    B = int(np.prod(lead))
+    x = x.reshape(B, x.shape[-1])
+
+    if pad_left is None:
+        pad_left = max(0, -plan.lo)
+    if pad_left < 0:
+        x = x[..., -pad_left:]
+        pad_left = 0
+    w0 = 0
+    n = x.shape[-1]
+    if num_frames is None:
+        num_frames = -(-n_out // P)
+    Kp = 8 * -(-(-(-num_frames // NUM_CLASSES)) // 8)
+
+    nc, r0c, rrel2, RG, wr = _class_rect_geometry(s, W, w0)
+    # EXACTLY the BlockSpec kernel's staging (pad + one transpose), with
+    # J0 = Kp + 1 columns so the wrap DMA can read J-offset 1 (virtual
+    # rows r >= s alias (r - s, j + 1); no extra staging buffer).
+    J0 = Kp + 1
+    total = 128 * s * J0
+    pad_right = total - pad_left - n
+    if pad_right < 0:
+        x = x[..., : n + pad_right]
+        pad_right = 0
+    xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (pad_left, pad_right)))
+    xv = xp.reshape(B, J0, s, 128).transpose(0, 2, 1, 3)  # (B, s, J0, 128)
+
+    CG = CLASS_GROUP
+    n_groups = NUM_CLASSES // CG
+    if precision == "fast":
+        banks = jnp.asarray(_class_banks_split(plan, w0))
+        banks = banks.reshape(n_groups, CG, 2, nc * 128, P)
+        bank_spec = pl.BlockSpec(
+            (1, CG, 2, nc * 128, P), lambda t, b, r_, rr_: (t, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        banks = jnp.asarray(_class_banks(plan, w0))
+        banks = banks.reshape(n_groups, CG, nc * 128, P)
+        bank_spec = pl.BlockSpec(
+            (1, CG, nc * 128, P), lambda t, b, r_, rr_: (t, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    kern = functools.partial(
+        _class_rect_kernel, nc=nc, Kp=Kp, P=P, RG=RG, wr=wr, B=B,
+        n_groups=n_groups, precision=precision,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_groups, B),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),       # xv stays in HBM
+            bank_spec,
+        ],
+        out_specs=pl.BlockSpec(
+            (1, Kp, CG, P), lambda t, b, r_, rr_: (b, 0, t, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, RG + max(wr, 1), Kp, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    out4 = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B, Kp, NUM_CLASSES, P), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(jnp.asarray(r0c), jnp.asarray(rrel2), xv, banks)
+
+    frames = out4.reshape(B, Kp * NUM_CLASSES, P)
+    if pad_frames:
+        return frames.reshape(lead + (Kp * NUM_CLASSES, P))
+    return frames[:, :num_frames].reshape(lead + (num_frames, P))
+
+
 def polyphase_fir_class_frames(
     x: jnp.ndarray,
     plan: PolyphasePlan,

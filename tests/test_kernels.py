@@ -341,12 +341,45 @@ def test_fir_frames_dispatcher_routes():
     n_out = int(np.ceil(n * 160 / 147))
     x = (0.3 * np.random.default_rng(2).standard_normal(n)).astype(np.float32)
     want = np.asarray(_resample_frames(jnp.asarray(x), plan, n, n_out))
-    for kernel in ("auto", "class", "shear"):
+    for kernel in ("auto", "rect", "class", "shear"):
         got = np.asarray(
             fir_frames(jnp.asarray(x), plan, n_out, kernel=kernel,
                        interpret=True)
         )
         assert np.max(np.abs(got.reshape(-1)[:n_out] - want)) < 1e-5
+
+
+def test_fir_class_rect_kernel_matches_class():
+    """Group-rectangle manual-DMA kernel: bitwise parity with the class
+    kernel (same banks, same math; only the input staging path differs),
+    both rate directions, batch, pad_frames, fast mode, and the
+    shard-style num_frames/pad_left contract."""
+    from dsp_audio_project_tpu.kernels.fir_class import (
+        polyphase_fir_class_frames, polyphase_fir_class_rect_frames,
+    )
+
+    rng_ = np.random.default_rng(15)
+    for L, M, n in [(160, 147, 44100), (147, 160, 30011)]:
+        plan = make_plan(L, M)
+        n_out = int(np.ceil(n * L / M))
+        x = (0.3 * rng_.standard_normal((2, n))).astype(np.float32)
+        for kw in (dict(), dict(pad_frames=True), dict(precision="fast")):
+            a = np.asarray(polyphase_fir_class_frames(
+                jnp.asarray(x), plan, n_out, interpret=True, **kw))
+            b = np.asarray(polyphase_fir_class_rect_frames(
+                jnp.asarray(x), plan, n_out, interpret=True, **kw))
+            np.testing.assert_array_equal(a, b, err_msg=f"{L}/{M} {kw}")
+
+    plan = make_plan(160, 147)
+    hl, hr = plan.halo_left, plan.halo_right
+    n_loc = 147 * 256
+    x_ext = (0.3 * rng_.standard_normal(hl + n_loc + hr)).astype(np.float32)
+    kw = dict(num_frames=256, pad_left=-(plan.lo + hl), interpret=True)
+    a = np.asarray(polyphase_fir_class_frames(
+        jnp.asarray(x_ext), plan, 256 * plan.P, **kw))
+    b = np.asarray(polyphase_fir_class_rect_frames(
+        jnp.asarray(x_ext), plan, 256 * plan.P, **kw))
+    np.testing.assert_array_equal(a, b)
 
 
 def test_rfft_tall_kernel_matches_numpy(rng):

@@ -45,6 +45,8 @@ def test_fir_kernels_lower_for_tpu():
     for precision in (jax.lax.Precision.HIGHEST, "fast"):
         lower_tpu(lambda v: fir_frames(v, plan, n_out, kernel="class",
                                        precision=precision), x)
+        lower_tpu(lambda v: fir_frames(v, plan, n_out, kernel="rect",
+                                       precision=precision), x)
         lower_tpu(lambda v: polyphase_fir_shear_frames(
             v, plan, n_out, precision=precision), x)
         assert class_flat_supported(plan)
