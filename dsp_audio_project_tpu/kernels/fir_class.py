@@ -545,11 +545,20 @@ def polyphase_fir_class_rect_frames(
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
+    params = {}
+    if not interpret:
+        # Scratch + banks + output blocks exceed the compiler's default
+        # 16 MB scoped budget at larger CLASS_GROUPs; the cap is just an
+        # allowance (physical VMEM accommodates it).
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=28 * 1024 * 1024,
+        )
     out4 = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((B, Kp, NUM_CLASSES, P), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
+        **params,
     )(jnp.asarray(r0c), jnp.asarray(rrel2), xv, banks)
 
     frames = out4.reshape(B, Kp * NUM_CLASSES, P)
