@@ -22,6 +22,8 @@ def fir_frames(x, plan, n_out, *, kernel: str = "auto",
     72 us/signal vs class 86 us vs shear 209 us — 'auto' prefers rect
     (bitwise-identical outputs; same support envelope as class, s >= 8).
     """
+    import os
+
     from .fir_class import (
         class_supported, polyphase_fir_class_frames,
         polyphase_fir_class_rect_frames,
@@ -29,7 +31,10 @@ def fir_frames(x, plan, n_out, *, kernel: str = "auto",
     from .fir_shear import polyphase_fir_shear_frames
 
     if kernel == "auto":
-        kernel = "rect" if class_supported(plan) else "shear"
+        # DSP_FIR_KERNEL overrides routing for A/B debugging on hardware.
+        kernel = os.environ.get(
+            "DSP_FIR_KERNEL", "rect" if class_supported(plan) else "shear"
+        )
     fn = {
         "rect": polyphase_fir_class_rect_frames,
         "class": polyphase_fir_class_frames,

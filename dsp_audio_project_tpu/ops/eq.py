@@ -190,6 +190,67 @@ def _grouped_run(
     return y, end_states, sigma
 
 
+def _grouped_parts(
+    x_g: jnp.ndarray, ops: BlockOperators, fast: bool = False
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """State pass returning (y0, s_in, end_states) — _grouped_run split
+    BEFORE the carry solve, for callers that must inject a cross-shard
+    sigma0 between the passes (parallel/pipeline, streaming).  In fast
+    mode the FIR output and the state injection share the ONE
+    weight-concat bf16x3 matmul, so the frames are read from HBM once —
+    the same economy as the unsharded _grouped_run (the earlier
+    states+apply split read them twice; measured +0.3 ms on 8ch x 60 s).
+    """
+    f32 = jnp.float32
+    d = ops.A.shape[0]
+    U = ops.unroll
+    G = x_g.shape[-2]
+    lead = x_g.shape[:-2]
+    if fast:
+        w_cat = np.concatenate([ops.group_fir.T, ops.group_in], axis=1)
+        cat = jnp.einsum(
+            "...gu,uv->...gv", x_g, jnp.asarray(w_cat, dtype=f32),
+            precision=jax.lax.Precision.HIGH, preferred_element_type=f32,
+        )
+        y0 = cat[..., :U]
+        inj = cat[..., U:]
+    else:
+        inj = einsum_f32("...gu,ud->...gd", x_g,
+                         jnp.asarray(ops.group_in, dtype=f32))
+        y0 = jnp.einsum(
+            "...gu,uv->...gv", x_g,
+            jnp.asarray(ops.group_fir.T, dtype=f32),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=f32,
+        )
+    toe = jnp.asarray(ops.group_toeplitz, dtype=f32)
+    toe_prec = jax.lax.Precision.HIGH if fast else jax.lax.Precision.HIGHEST
+    s_tail = jnp.einsum(
+        "...x,xy->...y", inj.reshape(lead + (G * d,)), toe,
+        precision=toe_prec, preferred_element_type=f32,
+    ).reshape(lead + (G, d))
+    end_states = s_tail[..., G - 1, :]
+    s_in = jnp.concatenate(
+        [jnp.zeros(lead + (1, d), f32), s_tail[..., : G - 1, :]], axis=-2
+    )
+    return y0, s_in, end_states
+
+
+def _grouped_finish(
+    y0: jnp.ndarray,
+    s_in: jnp.ndarray,
+    sigma: jnp.ndarray,
+    ops: BlockOperators,
+) -> jnp.ndarray:
+    """Output pass of _grouped_parts once the true sigma is known."""
+    gPows = jnp.asarray(ops.group_pows, dtype=jnp.float32)
+    s_true = s_in + einsum_f32("gef,...kf->...kge", gPows, sigma)
+    return y0 + einsum_f32(
+        "...gd,du->...gu", s_true,
+        jnp.asarray(ops.group_out, dtype=jnp.float32),
+    )
+
+
 def _grouped_apply(
     x_g: jnp.ndarray,
     s_in: jnp.ndarray,

@@ -62,7 +62,7 @@ class ShardPlan:
 
 def _plan_shards(
     n: int, c: int, mesh_channel: int, mesh_block: int,
-    src_cfg: SRCConfig, iir_block_hint: int,
+    src_cfg: SRCConfig, iir_block_hint: int, fused: bool = False,
 ) -> Tuple[ShardPlan, src_ops.PolyphasePlan | None]:
     if src_cfg.bypass:
         # Identity SRC: no filter, no halo — shards carry raw samples and
@@ -78,17 +78,37 @@ def _plan_shards(
     # factor: block_operators halves its unroll until it divides the block,
     # and an odd block (e.g. P=3 with the default 8192 hint -> 8193) would
     # collapse unroll to 1 and build a (G*d)^2 Toeplitz in the gigabytes.
-    fpb = max(1, -(-iir_block_hint // Pcls))
-    fpb = -(-fpb // 16) * 16
+    # The fused path pins fpb = 128 — the same EQ geometry as the unsharded
+    # equalize_frames (groups_per_block = 128).
+    if fused:
+        fpb = 128
+    else:
+        fpb = max(1, -(-iir_block_hint // Pcls))
+        fpb = -(-fpb // 16) * 16
     iir_block = fpb * Pcls
 
-    frames_total = -(-n // (s * mesh_block * fpb)) * fpb * mesh_block
+    # Fused shards round frames_local to the class kernels' 1024-frame
+    # granule: the kernel pads its output grid to that multiple anyway, so
+    # this costs no extra kernel work — and it removes the frames crop,
+    # which XLA materialized as a full-size slice copy (~0.44 ms on
+    # 8ch x 60 s, round 4).  The pad frames land in the LAST shard (global
+    # signal tail), so cross-shard carries stay exact.
+    granule = 1024 if fused else fpb
+    granule = -(-granule // fpb) * fpb
+    frames_total = (
+        -(-n // (s * mesh_block * granule)) * granule * mesh_block
+    )
     frames_local = frames_total // mesh_block
     n_in_local = frames_local * s
     n_out_local = frames_local * Pcls
 
-    halo_left = plan.halo_left if plan is not None else 0
-    halo_right = plan.halo_right if plan is not None else 0
+    # With a single block-shard there are no neighbors: the halo is pure
+    # zero-extension, which the frame kernels' own padding already provides.
+    # Skipping it statically removes a full-signal concat (XLA materializes
+    # [left | x | right] as slice + dynamic-update-slice passes — measured
+    # ~0.8 ms on 8ch x 60 s, round 4).
+    halo_left = plan.halo_left if plan is not None and mesh_block > 1 else 0
+    halo_right = plan.halo_right if plan is not None and mesh_block > 1 else 0
     if max(halo_left, halo_right) > n_in_local and mesh_block > 1:
         raise ValueError(
             f"shard too small for filter halo: local={n_in_local}, "
@@ -143,14 +163,26 @@ def _local_resample(
 
     if plan.s >= 8:
         # Shifted-matmul formulation (shared with ops/src): frame 0's
-        # window starts at index lo + hl of the halo-extended signal.
+        # window starts at index lo + hl of the halo-extended signal
+        # (shifted_frames_matmul zero-extends both edges itself, which is
+        # exactly the single-block-shard case where sp's halos are 0).
         classes = src_ops.shifted_frames_matmul(
             x_ext, plan, sp.frames_local, -(plan.lo + hl)
         )
     else:
+        off = plan.lo + hl
         k = np.arange(sp.frames_local, dtype=np.int32)[:, None]
         w = np.arange(plan.W, dtype=np.int32)[None, :]
-        idx = jnp.asarray(k * plan.s + w + (plan.lo + hl))
+        # Gather indices must stay in-bounds: zero-extend the edges the
+        # (possibly absent, mesh_block == 1) halos would have covered.
+        pad_l = max(0, -off)
+        max_idx = (sp.frames_local - 1) * plan.s + plan.W - 1 + off
+        pad_r = max(0, max_idx + 1 + pad_l - (x_ext.shape[-1] + pad_l))
+        if pad_l or pad_r:
+            x_ext = jnp.pad(
+                x_ext, [(0, 0)] * (x_ext.ndim - 1) + [(pad_l, pad_r)]
+            )
+        idx = jnp.asarray(k * plan.s + w + off + pad_l)
         frames = jnp.take(x_ext, idx, axis=-1)  # (..., K, W)
         g_mat = jnp.asarray(plan.G, dtype=jnp.float32)
         classes = einsum_f32("...kw,wp->...kp", frames, g_mat)
@@ -236,17 +268,24 @@ def build_sharded_pipeline(
     mesh_block = mesh.shape[BLOCK_AXIS]
     src_cfg, eq_cfg = config.src, config.eq
 
-    sp, plan = _plan_shards(
-        n, channels, mesh_channel, mesh_block, src_cfg, config.kernels.iir_block
+    # The fused decision shapes the shard plan (EQ geometry + the 1024-frame
+    # granule), so resolve it before planning.
+    plan_probe = (
+        None if src_cfg.bypass
+        else src_ops.make_plan(src_cfg.L, src_cfg.M, src_cfg.taps_rule_factor)
     )
     if fused is None:
         fused = (
-            plan is not None
-            and plan.s >= 8
+            plan_probe is not None
+            and plan_probe.s >= 8
             and (config.kernels.interpret or jax.default_backend() == "tpu")
         )
-    if fused and (plan is None or plan.s < 8):
+    if fused and (plan_probe is None or plan_probe.s < 8):
         raise ValueError("fused sharded path requires SRC with stride s >= 8")
+    sp, plan = _plan_shards(
+        n, channels, mesh_channel, mesh_block, src_cfg,
+        config.kernels.iir_block, fused=bool(fused),
+    )
     fs_out = src_cfg.output_rate(fs)
     bands = eq_cfg.active_bands(fs_out)
     eq_active = not eq_cfg.bypass and bool(bands)
@@ -293,17 +332,20 @@ def build_sharded_pipeline(
             return z_loc, y_loc
         # ONE local block pass: zero-init states + local carries; the
         # cross-shard state folds into the group-entry states (no second
-        # full-width pass).
+        # full-width pass).  _grouped_parts shares the weight-concat
+        # matmul in fast mode (frames read once).
         U = ops.unroll
         x_g = y_loc.reshape(
             y_loc.shape[:-1] + (K_loc, ops.block // U, U)
         )
-        s_in, e = eq_ops._grouped_states(x_g, ops)
+        y0, s_in, e = eq_ops._grouped_parts(
+            x_g, ops, fast=config.kernels.eq_fast
+        )
         sigma_local = eq_ops._carry_states(e, ops)          # (..., K, d)
         sigma = _shard_sigma(e, sigma_local)
-        z_loc = eq_ops._grouped_apply(
-            x_g, s_in, sigma, ops, fast=config.kernels.eq_fast
-        ).reshape(y_loc.shape)
+        z_loc = eq_ops._grouped_finish(y0, s_in, sigma, ops).reshape(
+            y_loc.shape
+        )
         return jnp.clip(z_loc, -1.0, 1.0), y_loc
 
     def local_fn_fused(x_loc):
@@ -320,12 +362,12 @@ def build_sharded_pipeline(
             return z_loc, y_loc
         fpb = ops.block // plan.P
         x_g = y_fr.reshape(lead + (K_loc, fpb, plan.P))
-        s_in, e = eq_ops._grouped_states(x_g, ops)
+        y0, s_in, e = eq_ops._grouped_parts(
+            x_g, ops, fast=config.kernels.eq_fast
+        )
         sigma_local = eq_ops._carry_states(e, ops)          # (..., K, d)
         sigma = _shard_sigma(e, sigma_local)
-        z = eq_ops._grouped_apply(
-            x_g, s_in, sigma, ops, fast=config.kernels.eq_fast
-        )
+        z = eq_ops._grouped_finish(y0, s_in, sigma, ops)
         return jnp.clip(z.reshape(y_loc.shape), -1.0, 1.0), y_loc
 
     spec = P(CHANNEL_AXIS, BLOCK_AXIS)

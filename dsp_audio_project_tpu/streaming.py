@@ -647,7 +647,7 @@ class ShardedStreamProcessor:
                 z = y if eq_bypass else jnp.clip(y, -1.0, 1.0)
                 return z, sigma_in
             x_g = regroup(y)
-            s_in, e = eq_ops._grouped_states(x_g, ops)
+            y0, s_in, e = eq_ops._grouped_parts(x_g, ops, fast=fast)
             sigma_local = eq_ops._carry_states(e, ops)
             sigma, sigma_out = cross_shard(
                 sigma_local, e, sigma_in,
@@ -656,7 +656,7 @@ class ShardedStreamProcessor:
                 jnp.asarray(ops.state_corr, jnp.float32),
                 jnp.asarray(pk_f32),
             )
-            z = eq_ops._grouped_apply(x_g, s_in, sigma, ops, fast=fast)
+            z = eq_ops._grouped_finish(y0, s_in, sigma, ops)
             return finalize(z, y), sigma_out
 
         def local_fn_dyn(x_loc, tail, sigma_in, dops):

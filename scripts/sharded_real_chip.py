@@ -24,6 +24,9 @@ def main() -> None:
     import jax.numpy as jnp
 
     from dsp_audio_project_tpu import EQConfig, PipelineConfig, SRCConfig
+    from dsp_audio_project_tpu.utils.compcache import enable as _cc
+
+    _cc()
     from dsp_audio_project_tpu.config import KernelConfig, MeshConfig
     from dsp_audio_project_tpu.models.chain import AudioPipeline
     from dsp_audio_project_tpu.oracle import pipeline_oracle, snr_db
