@@ -49,7 +49,7 @@ def main():
     n = int(seconds * FS)
     rng = np.random.default_rng(3)
     xs = (rng.standard_normal((C, n)) * 0.4).astype(np.float32)
-    one_shot_sps = 13.62e9  # BENCH r4 src+eq line (0.194 ms / 60 s signal)
+    one_shot_sps = 14.70e9  # BENCH r4 src+eq line (0.180 ms / 60 s signal)
     log(f"device: {jax.devices()[0]}  C={C}  signal={seconds:.0f}s")
     for fl in fls:
         sp = ShardedStreamProcessor(cfg, FS, mesh1, C, frames_per_shard=fl)
