@@ -26,20 +26,39 @@ def fir_frames(x, plan, n_out, *, kernel: str = "auto",
 
     from .fir_class import (
         class_supported, polyphase_fir_class_frames,
-        polyphase_fir_class_rect_frames,
+        polyphase_fir_class_rect_frames, rect_supported,
     )
     from .fir_shear import polyphase_fir_shear_frames
 
-    if kernel == "auto":
-        # DSP_FIR_KERNEL overrides routing for A/B debugging on hardware.
-        kernel = os.environ.get(
-            "DSP_FIR_KERNEL", "rect" if class_supported(plan) else "shear"
-        )
-    fn = {
+    table = {
         "rect": polyphase_fir_class_rect_frames,
         "class": polyphase_fir_class_frames,
         "shear": polyphase_fir_shear_frames,
-    }[kernel]
+    }
+    if kernel == "auto":
+        kernel = (
+            "rect" if rect_supported(plan)
+            else "class" if class_supported(plan) else "shear"
+        )
+        # DSP_FIR_KERNEL overrides 'auto' routing for A/B debugging on
+        # hardware.  Validate eagerly (a bad value would otherwise raise a
+        # bare KeyError deep inside jit tracing) and ignore overrides the
+        # plan's geometry cannot run — the fallback chain must stay intact.
+        env = os.environ.get("DSP_FIR_KERNEL")
+        if env is not None:
+            if env not in table:
+                raise ValueError(
+                    f"DSP_FIR_KERNEL={env!r} is not one of "
+                    f"{sorted(table)}"
+                )
+            if (env == "shear"
+                    or (env == "class" and class_supported(plan))
+                    or (env == "rect" and rect_supported(plan))):
+                kernel = env
+    if kernel not in table:
+        raise ValueError(f"unknown FIR kernel {kernel!r}; expected "
+                         f"'auto' or one of {sorted(table)}")
+    fn = table[kernel]
     return fn(
         x, plan, n_out, precision=precision, interpret=interpret,
         pad_frames=pad_frames, num_frames=num_frames, pad_left=pad_left,

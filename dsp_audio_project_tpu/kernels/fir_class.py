@@ -94,6 +94,19 @@ def class_supported(plan: PolyphasePlan) -> bool:
     return plan.s >= 8 and plan.W <= 128 * plan.s
 
 
+def rect_supported(plan: PolyphasePlan) -> bool:
+    """True when the rect (manual-DMA) variant covers the plan: the class
+    envelope AND the class-group row rectangle fits inside the s staged
+    rows (see _class_rect_geometry)."""
+    if not class_supported(plan):
+        return False
+    try:
+        _class_rect_geometry(plan.s, plan.W, 0)
+    except ValueError:
+        return False
+    return True
+
+
 # ---- flat-output variant ---------------------------------------------------
 #
 # The frames layout (..., F, 160) costs every downstream op a 160->256 lane
@@ -369,6 +382,15 @@ def _class_rect_geometry(s: int, W: int, w0: int):
     n_groups = NUM_CLASSES // CLASS_GROUP
     g = gb.reshape(n_groups, CLASS_GROUP)
     RG = int((g[:, -1] - g[:, 0]).max()) + nc
+    if RG > s:
+        # The clamped rectangle base min(g[:,0], s - RG) would go negative
+        # and the main DMA would read out of bounds.  class_supported admits
+        # W up to 128*s, where RG ~ (W + CLASS_GROUP*s)/128 can exceed s —
+        # fail loudly; fir_frames routes such plans to the BlockSpec kernel.
+        raise ValueError(
+            f"rect kernel rectangle ({RG} rows) exceeds the staged row count "
+            f"s={s}; route this plan to the 'class' kernel"
+        )
     r0c = np.minimum(g[:, 0], s - RG).astype(np.int32)
     wr = max(0, int(gb.max()) + nc - s)   # wrap rows (rows >= s)
     rrel2 = np.zeros((nc, NUM_CLASSES), np.int32)

@@ -718,11 +718,12 @@ def build_dynamic_stream_operators_host(
 
     The serving model (/root/reference/app.py:158-167 generalized to
     long-form): a slider move mid-stream builds THIS pytree (~ms of host
-    float64 numpy + a small upload) and hands it to
-    ``ShardedStreamProcessor.set_dynamic_operators`` — no recompile, and
-    the carry state sigma passes through the change un-reset (the
-    live-lfilter semantics: filter state persists across a coefficient
-    change; see streaming.py).
+    float64 numpy + a small upload).  ``ShardedStreamProcessor.set_gains``
+    is the public entry point — it calls this builder and swaps the
+    operators at the next super-step boundary with no recompile; the carry
+    state sigma passes through the change un-reset (the live-lfilter
+    semantics: filter state persists across a coefficient change; see
+    streaming.py).
 
     ``num_blocks`` = K_loc (EQ blocks per shard), ``num_shards`` = nb
     (block-axis mesh size).  All tables are float64-exact views of the

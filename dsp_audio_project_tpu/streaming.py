@@ -35,18 +35,26 @@ from .ops.src import PolyphasePlan, _resample_frames, make_plan
 
 @dataclasses.dataclass
 class StreamState:
-    """Serializable carry for a paused stream."""
+    """Serializable carry for a paused stream.
+
+    ``d`` records the EQ state dimension the carry was captured under and
+    ``gains_db`` the active dynamic gain vector (None for static-gains
+    streams), so a resume can validate the carry's basis instead of
+    silently reinterpreting it under different operators.
+    """
 
     samples_in: int          # total input samples consumed
     frames_done: int         # polyphase frames fully emitted
     src_carry: np.ndarray    # input tail the next frames reach into
     eq_state: np.ndarray     # cascade state (d,) or empty
     fs: int
+    d: Optional[int] = None          # EQ state dim at capture
+    gains_db: Optional[list] = None  # dynamic gains at capture
 
     def to_bytes(self) -> bytes:
         buf = io.BytesIO()
         meta = dict(samples_in=self.samples_in, frames_done=self.frames_done,
-                    fs=self.fs)
+                    fs=self.fs, d=self.d, gains_db=self.gains_db)
         head = json.dumps(meta).encode()
         buf.write(len(head).to_bytes(4, "little"))
         buf.write(head)
@@ -59,6 +67,8 @@ class StreamState:
         buf = io.BytesIO(data)
         hlen = int.from_bytes(buf.read(4), "little")
         meta = json.loads(buf.read(hlen).decode())
+        meta.setdefault("d", None)          # pre-round-5 payloads
+        meta.setdefault("gains_db", None)
         src_carry = np.load(buf, allow_pickle=False)
         eq_state = np.load(buf, allow_pickle=False)
         return StreamState(src_carry=src_carry, eq_state=eq_state, **meta)
@@ -412,12 +422,27 @@ class ShardedStreamProcessor:
         if state is not None:
             if state.fs != self.fs:
                 raise ValueError("state was captured at a different rate")
+            if state.d is not None and state.d != self._d:
+                raise ValueError(
+                    f"stream state carries an EQ basis of dimension "
+                    f"{state.d} but this processor's configuration has "
+                    f"d={self._d} — resume with the same EQ config (and, "
+                    f"for dynamic mode, pass gains_db; the captured gains "
+                    f"are state.gains_db)"
+                )
             self._samples_in = state.samples_in
             self._frames_done = state.frames_done
             self._buf = np.array(state.src_carry, dtype=np.float32)
             if self._buf.ndim == 1:
                 self._buf = self._buf[None].repeat(self.channels, 0)
             eqs = np.asarray(state.eq_state, dtype=np.float32)
+            if eqs.size and eqs.size != self.channels * self._d:
+                raise ValueError(
+                    f"stream state eq carry has {eqs.size} values; this "
+                    f"configuration needs channels*d = "
+                    f"{self.channels}*{self._d} — the state was captured "
+                    f"under a different EQ config or channel count"
+                )
             self._sigma = (
                 eqs.reshape(self.channels, self._d)
                 if eqs.size else np.zeros((self.channels, 0), np.float32)
@@ -481,6 +506,10 @@ class ShardedStreamProcessor:
             src_carry=self._buf.copy(),
             eq_state=self._sigma.copy(),
             fs=self.fs,
+            d=self._d,
+            gains_db=(
+                [float(g) for g in self._gains] if self._dynamic else None
+            ),
         )
 
     def state_bytes(self) -> bytes:
@@ -491,7 +520,16 @@ class ShardedStreamProcessor:
                frames_per_shard: Optional[int] = None,
                fused: Optional[bool] = None, gains_db=None,
                ) -> "ShardedStreamProcessor":
+        """Rebuild a processor from ``state_bytes`` output.
+
+        A dynamic-mode checkpoint records its gain vector; if ``gains_db``
+        is not supplied the captured gains are re-applied automatically
+        (pass gains explicitly to resume under different slider positions —
+        the carry passes through un-reset, the live-lfilter semantics).
+        """
         st = StreamState.from_bytes(data)
+        if gains_db is None and st.gains_db is not None:
+            gains_db = st.gains_db
         return ShardedStreamProcessor(
             config, st.fs, mesh, channels,
             frames_per_shard=frames_per_shard, state=st, fused=fused,

@@ -26,7 +26,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # Single-chip reference: bench.py device time per 60 s 44.1 kHz signal,
 # read from the newest BENCH_r*.json at the repo root so the efficiency
 # denominator tracks the measured chain instead of a stale constant.
-_T1_FALLBACK = 0.194e-3  # round-2 measurement (BENCH_r02.json)
+_T1_FALLBACK = 0.180e-3  # round-4 SRC+EQ measurement (BENCH_r04.json
+#                           extra.src_eq_ms_per_60s_signal); only consulted
+#                           when no BENCH_r*.json is readable at the root.
 
 
 def t1_per_60s() -> float:
