@@ -89,6 +89,57 @@ def _class_banks_split(plan: PolyphasePlan, w0: int) -> np.ndarray:
     return np.stack([bh, bl], axis=1)
 
 
+# ---- EQ-epilogue-fused (cat) banks ------------------------------------------
+#
+# The fused frame-major chain's next op after the FIR is the EQ's per-frame
+# weight-concat matmul  frames @ [group_fir^T | group_in]  (ops/eq
+# _grouped_parts fast mode) — frame-independent weights, so by matmul
+# distributivity it folds into the operator bank on the HOST:
+#
+#     cat[f] = (x_win[f] @ G) @ w_cat = x_win[f] @ (G @ w_cat),
+#
+# composed in float64 at design time.  The kernel then emits [y0 | inj]
+# directly and the frames tensor never round-trips through HBM (write
+# 11.1 MB + read ~11.5 MB on the 60 s serving config).  MXU cost is
+# UNCHANGED: the output width grows P -> P + d (160 -> ~172 for the
+# serving EQ), and both pad to the same 256 MXU lanes.
+#
+# Cache keyed on the w_cat bytes: BlockOperators singletons produce a
+# stable small (P, P+d) float64 array per (bands, fs, q, block, unroll).
+
+_banks_cat_cache: dict = {}
+
+
+def _class_banks_cat(plan: PolyphasePlan, w0: int, w_cat: np.ndarray,
+                     split: bool) -> np.ndarray:
+    """Pre-rotated banks of G2 = G @ w_cat: (128, nc*128, Vp) f32, or the
+    (128, 2, nc*128, Vp) bf16 hi/lo split when ``split``."""
+    key = (plan, w0, bool(split), w_cat.tobytes())
+    cached = _banks_cat_cache.get(key)
+    if cached is not None:
+        return cached
+    if w_cat.shape[0] != plan.P:
+        raise ValueError(
+            f"w_cat rows {w_cat.shape[0]} must equal plan.P {plan.P}"
+        )
+    nc, _, _, _, o = _class_geometry(plan.s, plan.W, w0)
+    G2 = (plan.G.astype(np.float64) @ w_cat.astype(np.float64)).astype(
+        np.float32
+    )
+    Vp = G2.shape[1]
+    banks = np.zeros((NUM_CLASSES, nc * 128, Vp), np.float32)
+    for r in range(NUM_CLASSES):
+        banks[r, o[r] : o[r] + plan.W, :] = G2
+    if split:
+        import ml_dtypes
+
+        bh = banks.astype(ml_dtypes.bfloat16)
+        bl = (banks - bh.astype(np.float32)).astype(ml_dtypes.bfloat16)
+        banks = np.stack([bh, bl], axis=1)
+    _banks_cat_cache[key] = banks
+    return banks
+
+
 def class_supported(plan: PolyphasePlan) -> bool:
     """True when this kernel covers the plan's geometry (wide stride)."""
     return plan.s >= 8 and plan.W <= 128 * plan.s
@@ -475,6 +526,33 @@ def _class_rect_kernel(r0_ref, rrel_ref, x_hbm, bank_ref, out_ref, xbuf,
         out_ref[0, :, j, :] = acc
 
 
+def polyphase_fir_class_rect_cat(
+    x: jnp.ndarray,
+    plan: PolyphasePlan,
+    n_out: int,
+    w_cat: np.ndarray,
+    *,
+    precision=jax.lax.Precision.HIGHEST,
+    interpret: bool = False,
+    pad_frames: bool = True,
+    num_frames: int | None = None,
+    pad_left: int | None = None,
+) -> jnp.ndarray:
+    """Rect FIR kernel with the EQ's weight-concat matmul folded in.
+
+    Emits cat frames (..., F, Vp) with Vp = w_cat.shape[1]: column block
+    [:P] is y0 = frames @ group_fir^T and [P:] is inj = frames @ group_in
+    when w_cat = [group_fir^T | group_in] (see _class_banks_cat) — exactly
+    fusion.6's output in the unfused chain, minus the frames HBM round
+    trip.  ops/eq.equalize_frames_cat consumes this.
+    """
+    return polyphase_fir_class_rect_frames(
+        x, plan, n_out, precision=precision, interpret=interpret,
+        pad_frames=pad_frames, num_frames=num_frames, pad_left=pad_left,
+        _w_cat=np.ascontiguousarray(w_cat, dtype=np.float64),
+    )
+
+
 def polyphase_fir_class_rect_frames(
     x: jnp.ndarray,
     plan: PolyphasePlan,
@@ -485,12 +563,15 @@ def polyphase_fir_class_rect_frames(
     pad_frames: bool = False,
     num_frames: int | None = None,
     pad_left: int | None = None,
+    _w_cat: np.ndarray | None = None,
 ) -> jnp.ndarray:
     """Class-major polyphase FIR with rectangle manual-DMA input staging.
 
     Same contract and frame semantics as polyphase_fir_class_frames (same
     pre-rotated banks, same output layout); differs only in how the staged
     input reaches VMEM (see the section comment).  Requires s >= 8.
+    With ``_w_cat`` the banks are the fused G @ w_cat composition and the
+    emitted minor dim is w_cat.shape[1] (use polyphase_fir_class_rect_cat).
     """
     s, P, W = plan.s, plan.P, plan.W
     if s < 8:
@@ -501,6 +582,7 @@ def polyphase_fir_class_rect_frames(
         return polyphase_fir_class_rect_frames(
             x[None], plan, n_out, precision=precision, interpret=interpret,
             pad_frames=pad_frames, num_frames=num_frames, pad_left=pad_left,
+            _w_cat=_w_cat,
         )[0]
     lead = x.shape[:-1]
     B = int(np.prod(lead))
@@ -516,6 +598,7 @@ def polyphase_fir_class_rect_frames(
     if num_frames is None:
         num_frames = -(-n_out // P)
     Kp = 8 * -(-(-(-num_frames // NUM_CLASSES)) // 8)
+    Vp = P if _w_cat is None else _w_cat.shape[1]
 
     nc, r0c, rrel2, RG, wr = _class_rect_geometry(s, W, w0)
     # EXACTLY the BlockSpec kernel's staging (pad + one transpose), with
@@ -533,22 +616,32 @@ def polyphase_fir_class_rect_frames(
     CG = CLASS_GROUP
     n_groups = NUM_CLASSES // CG
     if precision == "fast":
-        banks = jnp.asarray(_class_banks_split(plan, w0))
-        banks = banks.reshape(n_groups, CG, 2, nc * 128, P)
+        if _w_cat is None:
+            banks = jnp.asarray(_class_banks_split(plan, w0))
+        else:
+            banks = jnp.asarray(
+                _class_banks_cat(plan, w0, _w_cat, split=True)
+            )
+        banks = banks.reshape(n_groups, CG, 2, nc * 128, Vp)
         bank_spec = pl.BlockSpec(
-            (1, CG, 2, nc * 128, P), lambda t, b, r_, rr_: (t, 0, 0, 0, 0),
+            (1, CG, 2, nc * 128, Vp), lambda t, b, r_, rr_: (t, 0, 0, 0, 0),
             memory_space=pltpu.VMEM,
         )
     else:
-        banks = jnp.asarray(_class_banks(plan, w0))
-        banks = banks.reshape(n_groups, CG, nc * 128, P)
+        if _w_cat is None:
+            banks = jnp.asarray(_class_banks(plan, w0))
+        else:
+            banks = jnp.asarray(
+                _class_banks_cat(plan, w0, _w_cat, split=False)
+            )
+        banks = banks.reshape(n_groups, CG, nc * 128, Vp)
         bank_spec = pl.BlockSpec(
-            (1, CG, nc * 128, P), lambda t, b, r_, rr_: (t, 0, 0, 0),
+            (1, CG, nc * 128, Vp), lambda t, b, r_, rr_: (t, 0, 0, 0),
             memory_space=pltpu.VMEM,
         )
 
     kern = functools.partial(
-        _class_rect_kernel, nc=nc, Kp=Kp, P=P, RG=RG, wr=wr, B=B,
+        _class_rect_kernel, nc=nc, Kp=Kp, P=Vp, RG=RG, wr=wr, B=B,
         n_groups=n_groups, precision=precision,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -559,7 +652,7 @@ def polyphase_fir_class_rect_frames(
             bank_spec,
         ],
         out_specs=pl.BlockSpec(
-            (1, Kp, CG, P), lambda t, b, r_, rr_: (b, 0, t, 0),
+            (1, Kp, CG, Vp), lambda t, b, r_, rr_: (b, 0, t, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -577,16 +670,16 @@ def polyphase_fir_class_rect_frames(
         )
     out4 = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((B, Kp, NUM_CLASSES, P), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, Kp, NUM_CLASSES, Vp), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         **params,
     )(jnp.asarray(r0c), jnp.asarray(rrel2), xv, banks)
 
-    frames = out4.reshape(B, Kp * NUM_CLASSES, P)
+    frames = out4.reshape(B, Kp * NUM_CLASSES, Vp)
     if pad_frames:
-        return frames.reshape(lead + (Kp * NUM_CLASSES, P))
-    return frames[:, :num_frames].reshape(lead + (num_frames, P))
+        return frames.reshape(lead + (Kp * NUM_CLASSES, Vp))
+    return frames[:, :num_frames].reshape(lead + (num_frames, Vp))
 
 
 def polyphase_fir_class_frames(

@@ -227,6 +227,122 @@ class AudioPipeline:
         ])
         return z, y, (mx, my, mz)
 
+    # ---- EQ-fused cat path (round 5) ------------------------------------
+    #
+    # The rect FIR kernel's operator banks are pre-multiplied on host by
+    # the EQ's weight concat [group_fir^T | group_in] (float64 G @ w_cat —
+    # kernels/fir_class._class_banks_cat), so the kernel emits the EQ's
+    # [y0 | inj] per frame directly: same MXU cost (the P -> P+d output
+    # width pads to the same 256 lanes), one fewer full-signal HBM round
+    # trip (the frames tensor never exists).  The EQ keeps only the
+    # group-Toeplitz state solve + readout (ops/eq.equalize_frames_cat).
+    # The y/z analysis rows come out as tiny side tensors (y recomputed
+    # from x with resample_rows, z from slices of the kernel output), so
+    # the full-size z fusion is never sliced.
+
+    def cat_supported(self, n: int, fs: int) -> bool:
+        """True when the EQ-fused cat path covers this (config, input).
+
+        Needs the rect kernel's geometry, an active EQ at the output rate
+        (the fold happens against its operators), and matching src/eq
+        precision flags (one kernel precision serves both folded stages).
+        """
+        cfg = self.config
+        kc = cfg.kernels
+        if cfg.src.bypass or cfg.eq.bypass:
+            return False
+        if bool(kc.src_fast) != bool(kc.eq_fast):
+            return False
+        from ..kernels.fir_class import rect_supported
+        from ..ops.src import make_plan
+
+        plan = make_plan(cfg.src.L, cfg.src.M, cfg.src.taps_rule_factor)
+        if not (rect_supported(plan) and n * cfg.src.L >= cfg.src.num_taps):
+            return False
+        return bool(cfg.eq.active_bands(cfg.src.output_rate(fs)))
+
+    def _cat_pieces(self, x: jnp.ndarray, fs: int):
+        """Shared cat-path front end: (cat_frames, plan, n_out, fs_out)."""
+        from ..kernels.fir_class import polyphase_fir_class_rect_cat
+        from ..ops.eq import eq_cat_weights, make_block_operators
+        from ..ops.src import make_plan
+        from ..utils.profiling import trace_stage
+
+        cfg = self.config
+        kc = cfg.kernels
+        plan = make_plan(cfg.src.L, cfg.src.M, cfg.src.taps_rule_factor)
+        n_out = cfg.src.output_length(x.shape[-1])
+        fs_out = cfg.src.output_rate(fs)
+        bands = cfg.eq.active_bands(fs_out)
+        ops = make_block_operators(
+            bands, int(fs_out), cfg.eq.q, 128 * plan.P, plan.P
+        )
+        with trace_stage("src_eq_cat"):
+            cat = polyphase_fir_class_rect_cat(
+                x.astype(jnp.float32), plan, n_out, eq_cat_weights(ops),
+                precision=("fast" if kc.src_fast
+                           else jax.lax.Precision.HIGHEST),
+                interpret=kc.interpret,
+            )
+        return cat, plan, n_out, fs_out
+
+    def _forward_cat(self, x: jnp.ndarray, fs: int) -> jnp.ndarray:
+        """(x, fs) -> z_frames through the EQ-fused cat kernel.
+
+        z flat = z_frames.reshape(..., -1)[..., :output_length(n)]; the
+        SRC intermediate y is never materialized (use the frames path when
+        you need it as a tensor).
+        """
+        from ..ops.eq import equalize_frames_cat
+
+        cfg = self.config
+        cat, plan, n_out, fs_out = self._cat_pieces(x, fs)
+        return equalize_frames_cat(
+            cat, fs_out, cfg.eq, unroll=plan.P, fast=cfg.kernels.eq_fast,
+        )
+
+    def _forward_cat_spectra(self, x: jnp.ndarray, fs: int):
+        """(x, fs) -> (z_frames, (mag_x, mag_y, mag_z)) — the full-chain
+        headline program on the cat path.  The y spectrum's ~13 frame rows
+        are recomputed from x (ops/src.resample_rows, exact f32 design
+        matmul); the z rows ride out of the EQ as a small side tensor."""
+        from ..ops.eq import equalize_frames_cat
+        from ..ops.spectrum import (
+            spectra_mag_stacked, spectrum_rows_needed, spectrum_window,
+            spectrum_window_rows,
+        )
+        from ..ops.src import resample_rows
+
+        cfg = self.config
+        scfg = cfg.spectrum
+        cat, plan, n_out, fs_out = self._cat_pieces(x, fs)
+        r0, r1 = spectrum_rows_needed(n_out, plan.P, scfg)
+        z, z_rows = equalize_frames_cat(
+            cat, fs_out, cfg.eq, unroll=plan.P, fast=cfg.kernels.eq_fast,
+            rows=(r0, r1),
+        )
+        y_rows = resample_rows(x.astype(jnp.float32), plan, r0, r1)
+        mx, my, mz = spectra_mag_stacked([
+            spectrum_window(x, scfg),
+            spectrum_window_rows(y_rows, r0, n_out, scfg),
+            spectrum_window_rows(z_rows, r0, n_out, scfg),
+        ])
+        return z, (mx, my, mz)
+
+    def jit_forward_cat(self):
+        """Jitted cat-path (x, fs) -> z_frames; see cat_supported."""
+        if getattr(self, "_jitted_cat", None) is None:
+            self._jitted_cat = jax.jit(self._forward_cat, static_argnums=(1,))
+        return self._jitted_cat
+
+    def jit_forward_cat_spectra(self):
+        """Jitted cat-path full chain (x, fs) -> (z_frames, (mx, my, mz))."""
+        if getattr(self, "_jitted_cat_spectra", None) is None:
+            self._jitted_cat_spectra = jax.jit(
+                self._forward_cat_spectra, static_argnums=(1,)
+            )
+        return self._jitted_cat_spectra
+
     # ---- flat 128-lane fast path ----------------------------------------
     #
     # The frames layout (..., F, 160) pads 160 -> 256 lanes in every op that

@@ -251,6 +251,108 @@ def _grouped_finish(
     )
 
 
+def eq_cat_weights(ops: BlockOperators) -> np.ndarray:
+    """(U, U+d) float64 weight concat [group_fir^T | group_in].
+
+    The per-frame matmul the fused chain folds into the FIR kernel's
+    operator banks (kernels/fir_class._class_banks_cat): cat = x_g @ w_cat
+    yields [y0 | inj] per group.  float64 so the host-side composition
+    G @ w_cat is exact before the single f32/bf16x3 quantization.
+    """
+    return np.concatenate(
+        [ops.group_fir.T.astype(np.float64),
+         ops.group_in.astype(np.float64)], axis=1
+    )
+
+
+def _grouped_parts_cat(
+    cat_g: jnp.ndarray, ops: BlockOperators, fast: bool = False
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """_grouped_parts when the input IS the pre-multiplied cat tensor
+    (..., K, G, U + d) — y0 and inj come straight off the FIR kernel's
+    fused emission; only the group-Toeplitz state solve remains here.
+    """
+    f32 = jnp.float32
+    d = ops.A.shape[0]
+    U = ops.unroll
+    G = cat_g.shape[-2]
+    lead = cat_g.shape[:-2]
+    y0 = cat_g[..., :U]
+    inj = cat_g[..., U:]
+    toe = jnp.asarray(ops.group_toeplitz, dtype=f32)
+    toe_prec = jax.lax.Precision.HIGH if fast else jax.lax.Precision.HIGHEST
+    s_tail = jnp.einsum(
+        "...x,xy->...y", inj.reshape(lead + (G * d,)), toe,
+        precision=toe_prec, preferred_element_type=f32,
+    ).reshape(lead + (G, d))
+    end_states = s_tail[..., G - 1, :]
+    s_in = jnp.concatenate(
+        [jnp.zeros(lead + (1, d), f32), s_tail[..., : G - 1, :]], axis=-2
+    )
+    return y0, s_in, end_states
+
+
+def equalize_frames_cat(
+    cat_frames: jnp.ndarray,
+    fs: int,
+    cfg: EQConfig,
+    unroll: int,
+    groups_per_block: int = 128,
+    fast: bool = False,
+    rows: Tuple[int, int] | None = None,
+):
+    """EQ on fused cat input (..., F, U+d) -> clipped frames (..., F, U).
+
+    ``cat_frames`` is polyphase_fir_class_rect_cat output: per frame,
+    [:U] = y0 (zero-state within-group response) and [U:] = inj (state
+    injection), both already through w_cat = eq_cat_weights(ops).  F must
+    be a multiple of ``groups_per_block`` (the kernel's pad_frames grid
+    guarantees it).  Semantics equal equalize_frames on the raw frames —
+    gated in tests/test_eq.py.
+
+    ``rows=(r0, r1)``: also return the clipped output rows [r0, r1) as a
+    separate small tensor computed from slices of the kernel-materialized
+    inputs — the spectra consumer's path that avoids slicing the
+    full-size output fusion (a measured 15.7 us full-tensor XLA relayout,
+    STATUS round 4).
+    """
+    bands = cfg.active_bands(fs)
+    if cfg.bypass or not bands:
+        raise ValueError("cat path requires an active EQ "
+                         "(fold happens against its operators)")
+    U = unroll
+    G = groups_per_block
+    F = cat_frames.shape[-2]
+    if F % G:
+        raise ValueError(f"frame count {F} not a multiple of {G}")
+    K = F // G
+    d = 2 * len(bands)
+    if cat_frames.shape[-1] != U + d:
+        raise ValueError(
+            f"cat width {cat_frames.shape[-1]} != unroll {U} + d {d}"
+        )
+    ops = make_block_operators(bands, int(fs), cfg.q, G * U, U)
+    lead = cat_frames.shape[:-2]
+    cat_g = cat_frames.reshape(lead + (K, G, U + d))
+    y0, s_in, end_states = _grouped_parts_cat(cat_g, ops, fast=fast)
+    sigma = _carry_states(end_states, ops)
+    gPows = jnp.asarray(ops.group_pows, dtype=jnp.float32)
+    s_true = s_in + einsum_f32("gef,...kf->...kge", gPows, sigma)
+    gOut = jnp.asarray(ops.group_out, dtype=jnp.float32)
+    z = jnp.clip(
+        y0 + einsum_f32("...gd,du->...gu", s_true, gOut), -1.0, 1.0
+    ).reshape(lead + (F, U))
+    if rows is None:
+        return z
+    r0, r1 = rows
+    y0_rows = cat_frames[..., r0:r1, :U]
+    st_rows = s_true.reshape(lead + (F, d))[..., r0:r1, :]
+    z_rows = jnp.clip(
+        y0_rows + einsum_f32("...gd,du->...gu", st_rows, gOut), -1.0, 1.0
+    )
+    return z, z_rows
+
+
 def _grouped_apply(
     x_g: jnp.ndarray,
     s_in: jnp.ndarray,

@@ -126,6 +126,36 @@ def spectrum_window_frames(
     return seg.astype(jnp.float32) * jnp.asarray(_hann(m))
 
 
+def spectrum_rows_needed(
+    n_flat: int, P: int, cfg: SpectrumConfig = SpectrumConfig()
+) -> Tuple[int, int]:
+    """Frame-row range [r0, r1) of P-wide frames that the analysis window
+    of an n_flat-sample signal touches (static host arithmetic)."""
+    start, m, n = spectrum_segment(n_flat, cfg)
+    avail = min(m, n - start)
+    return start // P, -(-(start + avail) // P)
+
+
+def spectrum_window_rows(
+    rows: jnp.ndarray, r0: int, n_flat: int,
+    cfg: SpectrumConfig = SpectrumConfig(),
+) -> jnp.ndarray:
+    """spectrum_window_frames when the caller already holds JUST the touched
+    rows [r0, r1) (see spectrum_rows_needed) — the fused cat chain emits
+    the z/y analysis rows as small side tensors so the full-size output
+    fusion is never sliced (a measured 15.7 us full-tensor XLA relayout,
+    STATUS round 4)."""
+    P = rows.shape[-1]
+    start, m, n = spectrum_segment(n_flat, cfg)
+    avail = min(m, n - start)
+    flat = rows.reshape(rows.shape[:-2] + (rows.shape[-2] * P,))
+    off = start - r0 * P
+    seg = flat[..., off : off + avail]
+    if avail < m:
+        seg = jnp.pad(seg, [(0, 0)] * (seg.ndim - 1) + [(0, m - avail)])
+    return seg.astype(jnp.float32) * jnp.asarray(_hann(m))
+
+
 def spectra_mag_stacked(segs):
     """|rfft| of several same-width windowed segments in ONE kernel call.
 

@@ -227,3 +227,40 @@ def _resample_frames(
 
     out = classes.reshape(lead + (num_frames * plan.P,))
     return out[..., :n_out]
+
+
+def resample_rows(
+    x: jnp.ndarray,
+    plan: PolyphasePlan,
+    r0: int,
+    r1: int,
+    precision=jax.lax.Precision.HIGHEST,
+) -> jnp.ndarray:
+    """Frames [r0, r1) of the resampled signal, computed directly from x.
+
+    A tiny (r1-r0, W) @ (W, P) matmul over statically-sliced input windows
+    — the fused cat chain (models/chain._forward_cat_spectra) uses it to
+    produce the y-spectrum's ~13 frame rows without materializing the full
+    resampled signal anywhere (the cat FIR kernel emits the EQ's [y0|inj]
+    instead of raw frames).  Matches resample's frame semantics: frame k
+    covers x[k*s + lo : k*s + lo + W] with zero extension outside x.
+    """
+    s, W = plan.s, plan.W
+    pad_l = max(0, -plan.lo)
+    a = r0 * s - pad_l            # window span in x coordinates
+    b = (r1 - 1) * s + W - pad_l
+    n = x.shape[-1]
+    lpad = max(0, -a)
+    rpad = max(0, b - n)
+    seg = x[..., max(0, a) : min(n, b)]
+    seg = jnp.pad(
+        seg.astype(jnp.float32),
+        [(0, 0)] * (x.ndim - 1) + [(lpad, rpad)],
+    )
+    win = jnp.stack(
+        [seg[..., i * s : i * s + W] for i in range(r1 - r0)], axis=-2
+    )
+    return jnp.einsum(
+        "...rw,wp->...rp", win, jnp.asarray(plan.G, dtype=jnp.float32),
+        precision=precision, preferred_element_type=jnp.float32,
+    )

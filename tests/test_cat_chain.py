@@ -1,0 +1,161 @@
+"""EQ-fused cat chain (round 5): the rect FIR kernel emits the EQ's
+[y0 | inj] directly (banks pre-multiplied by [group_fir^T | group_in] in
+float64 on host) and ops/eq.equalize_frames_cat finishes with the
+group-Toeplitz solve + readout.  Gates:
+
+  * cat chain == frames chain on the same config (both vs each other and
+    vs the golden oracle) in fast AND full precision;
+  * the spectra side-rows (z from kernel-output slices, y recomputed via
+    ops/src.resample_rows) match the frames-path spectra;
+  * resample_rows rows == resample's frames rows exactly;
+  * the cat kernel lowers to TPU MLIR from CPU (Mosaic gate).
+
+Workload parity target: /root/reference/modules/dsp_core.py:133-254 and
+app.py:162-167 (SRC -> EQ cascade with per-render spectra).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dsp_audio_project_tpu import (
+    AudioPipeline, EQConfig, PipelineConfig, SRCConfig,
+)
+from dsp_audio_project_tpu.config import KernelConfig
+from dsp_audio_project_tpu.oracle import pipeline_oracle, snr_db
+
+FS = 44100
+GAINS = {"Sub-Bass": 6, "Bass": -3, "High Mids": 12, "Presence": -15,
+         "Brilliance": 4}
+
+
+def make_x(n, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / FS
+    x = (0.5 * np.sin(2 * np.pi * 440 * t)
+         + 0.2 * rng.standard_normal(n)).astype(np.float32)
+    return x / np.abs(x).max()
+
+
+def make_pipe(fast: bool) -> AudioPipeline:
+    return AudioPipeline(PipelineConfig(
+        src=SRCConfig(L=160, M=147), eq=EQConfig.from_gains(GAINS),
+        kernels=KernelConfig(eq_fast=fast, src_fast=fast, interpret=True),
+    ))
+
+
+@pytest.mark.parametrize("fast", [True, False])
+def test_cat_matches_frames_and_oracle(fast):
+    n = FS  # 1 s
+    x = make_x(n)
+    pipe = make_pipe(fast)
+    assert pipe.cat_supported(n, FS)
+    n_out = pipe.config.src.output_length(n)
+    zf, _ = pipe._forward_frames(jnp.asarray(x), FS)
+    zc = pipe._forward_cat(jnp.asarray(x), FS)
+    assert zc.shape == zf.shape
+    a = np.asarray(zf).reshape(-1)[:n_out]
+    b = np.asarray(zc).reshape(-1)[:n_out]
+    assert snr_db(a, b) > (95 if fast else 110)
+    want, _ = pipeline_oracle(x, FS, pipe.config.src, pipe.config.eq,
+                              engine="fast")
+    assert snr_db(want, b) > 90
+
+
+def test_cat_spectra_match_frames_path():
+    n = 2 * FS
+    x = make_x(n, seed=3)
+    pipe = make_pipe(True)
+    z, (mx, my, mz) = pipe._forward_cat_spectra(jnp.asarray(x), FS)
+    zf, yf, (mx0, my0, mz0) = pipe._forward_frames_spectra(
+        jnp.asarray(x), FS)
+    assert snr_db(np.asarray(mx0), np.asarray(mx)) > 140  # same math
+    assert snr_db(np.asarray(my0), np.asarray(my)) > 90
+    assert snr_db(np.asarray(mz0), np.asarray(mz)) > 90
+    # z itself also matches
+    n_out = pipe.config.src.output_length(n)
+    assert snr_db(np.asarray(zf).reshape(-1)[:n_out],
+                  np.asarray(z).reshape(-1)[:n_out]) > 95
+
+
+def test_cat_batched():
+    n = FS
+    xs = np.stack([make_x(n, seed=s) for s in range(3)])
+    pipe = make_pipe(True)
+    zc = pipe._forward_cat(jnp.asarray(xs), FS)
+    zf, _ = pipe._forward_frames(jnp.asarray(xs), FS)
+    assert zc.shape == zf.shape == (3,) + zf.shape[1:]
+    for i in range(3):
+        assert snr_db(np.asarray(zf[i]).ravel(),
+                      np.asarray(zc[i]).ravel()) > 95
+
+
+def test_resample_rows_match_frames():
+    from dsp_audio_project_tpu.kernels import fir_frames
+    from dsp_audio_project_tpu.ops.src import make_plan, resample_rows
+
+    n = FS
+    x = make_x(n, seed=5)
+    plan = make_plan(160, 147)
+    n_out = -(-n * 160 // 147)
+    yf = fir_frames(jnp.asarray(x)[None], plan, n_out, pad_frames=True,
+                    interpret=True)
+    for r0, r1 in ((0, 4), (100, 113), (270, 276)):
+        rows = resample_rows(jnp.asarray(x)[None], plan, r0, r1)
+        ref = np.asarray(yf)[:, r0:r1]
+        got = np.asarray(rows)
+        # same windows, same operator; HIGHEST both sides
+        assert snr_db(ref.ravel(), got.ravel()) > 120
+
+
+def test_cat_kernel_lowers_for_tpu():
+    from dsp_audio_project_tpu.kernels.fir_class import (
+        polyphase_fir_class_rect_cat,
+    )
+    from dsp_audio_project_tpu.ops.eq import (
+        eq_cat_weights, make_block_operators,
+    )
+    from dsp_audio_project_tpu.ops.src import make_plan
+
+    plan = make_plan(160, 147)
+    fs_out = 48000
+    cfg = EQConfig.from_gains(GAINS)
+    bands = cfg.active_bands(fs_out)
+    ops = make_block_operators(bands, fs_out, cfg.q, 128 * plan.P, plan.P)
+    w_cat = eq_cat_weights(ops)
+    n = FS
+    n_out = -(-n * 160 // 147)
+    x = jnp.zeros((2, n), jnp.float32)
+    for precision in (jax.lax.Precision.HIGHEST, "fast"):
+        jax.jit(
+            lambda v: polyphase_fir_class_rect_cat(
+                v, plan, n_out, w_cat, precision=precision)
+        ).trace(x).lower(lowering_platforms=("tpu",))
+
+
+def test_cat_full_program_lowers_for_tpu():
+    pipe = AudioPipeline(PipelineConfig(
+        src=SRCConfig(L=160, M=147), eq=EQConfig.from_gains(GAINS),
+        kernels=KernelConfig(eq_fast=True, src_fast=True),
+    ))
+    x = jnp.zeros((2, FS), jnp.float32)
+    jax.jit(
+        lambda v: pipe._forward_cat_spectra(v, FS), 
+    ).trace(x).lower(lowering_platforms=("tpu",))
+
+
+def test_cat_rejects_wrong_geometry():
+    from dsp_audio_project_tpu.ops.eq import equalize_frames_cat
+
+    cfg = EQConfig.from_gains(GAINS)
+    bad = jnp.zeros((256, 170), jnp.float32)  # F=256 ok, width mismatch
+    with pytest.raises(ValueError):
+        equalize_frames_cat(bad, 48000, cfg, unroll=165)
+    with pytest.raises(ValueError):
+        equalize_frames_cat(jnp.zeros((100, 170), jnp.float32), 48000,
+                            cfg, unroll=160)  # F not multiple of 128
+    with pytest.raises(ValueError):
+        equalize_frames_cat(jnp.zeros((256, 170), jnp.float32), 48000,
+                            EQConfig(), unroll=160)  # bypass EQ
