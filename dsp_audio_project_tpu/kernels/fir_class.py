@@ -100,36 +100,56 @@ def _class_banks_split(plan: PolyphasePlan, w0: int) -> np.ndarray:
 #
 # composed in float64 at design time.  The kernel then emits [y0 | inj]
 # directly and the frames tensor never round-trips through HBM (write
-# 11.1 MB + read ~11.5 MB on the 60 s serving config).  MXU cost is
-# UNCHANGED: the output width grows P -> P + d (160 -> ~172 for the
+# 11.8 MB + read ~11.8 MB on the 60 s serving config).  MXU cost is
+# UNCHANGED: the output width grows P -> P + DPAD (160 -> 176 for the
 # serving EQ), and both pad to the same 256 MXU lanes.
+#
+# Emission layout (round-5 measurement): a SINGLE (..., F, P+d) cat array
+# forces XLA to materialize lane-misaligned y0/inj slices downstream
+# (slice.11 + copy.10 + slice.19 ~ 23 us/signal — the round trip came
+# back as slices).  So the kernel writes TWO arrays, each consumed with
+# zero slicing:
+#   * y0 frames (..., F, P) — byte-identical layout to the frames output;
+#     the EQ's final fusion reads it directly;
+#   * inj packed (..., Kp, 128*DPAD) with inj_p[b, k, rho*DPAD + dd] =
+#     inj[frame 128k+rho][dd] — CLASS_GROUP*DPAD = 128 lanes per grid
+#     step, so out blocks stay lane-aligned; the group-Toeplitz solve
+#     consumes it flat against a DPAD-strided weight table
+#     (ops/eq._toe_padded) with no reshape and no slice.
 #
 # Cache keyed on the w_cat bytes: BlockOperators singletons produce a
 # stable small (P, P+d) float64 array per (bands, fs, q, block, unroll).
+
+DPAD = 16  # packed per-class stride of the inj output (CLASS_GROUP*DPAD=128)
 
 _banks_cat_cache: dict = {}
 
 
 def _class_banks_cat(plan: PolyphasePlan, w0: int, w_cat: np.ndarray,
                      split: bool) -> np.ndarray:
-    """Pre-rotated banks of G2 = G @ w_cat: (128, nc*128, Vp) f32, or the
-    (128, 2, nc*128, Vp) bf16 hi/lo split when ``split``."""
+    """Pre-rotated banks of G2 = G @ [w_cat | 0-pad]: (128, nc*128, P+DPAD)
+    f32, or the (128, 2, nc*128, P+DPAD) bf16 hi/lo split when ``split``.
+    Columns [P : P+d] hold the inj weights, [P+d : P+DPAD] are zero."""
     key = (plan, w0, bool(split), w_cat.tobytes())
     cached = _banks_cat_cache.get(key)
     if cached is not None:
         return cached
-    if w_cat.shape[0] != plan.P:
+    P = plan.P
+    if w_cat.shape[0] != P:
         raise ValueError(
-            f"w_cat rows {w_cat.shape[0]} must equal plan.P {plan.P}"
+            f"w_cat rows {w_cat.shape[0]} must equal plan.P {P}"
         )
-    nc, _, _, _, o = _class_geometry(plan.s, plan.W, w0)
+    d = w_cat.shape[1] - P
+    if not 0 < d <= DPAD:
+        raise ValueError(f"inj width {d} outside (0, {DPAD}]")
     G2 = (plan.G.astype(np.float64) @ w_cat.astype(np.float64)).astype(
         np.float32
     )
-    Vp = G2.shape[1]
+    Vp = P + DPAD
+    nc, _, _, _, o = _class_geometry(plan.s, plan.W, w0)
     banks = np.zeros((NUM_CLASSES, nc * 128, Vp), np.float32)
     for r in range(NUM_CLASSES):
-        banks[r, o[r] : o[r] + plan.W, :] = G2
+        banks[r, o[r] : o[r] + plan.W, : P + d] = G2
     if split:
         import ml_dtypes
 
@@ -526,6 +546,79 @@ def _class_rect_kernel(r0_ref, rrel_ref, x_hbm, bank_ref, out_ref, xbuf,
         out_ref[0, :, j, :] = acc
 
 
+def _class_rect_cat_kernel(r0_ref, rrel_ref, x_hbm, bank_ref, out_ref,
+                           inj_ref, xbuf, sems, *, nc, Kp, P, RG, wr, B,
+                           n_groups, precision):
+    """Rect kernel body with fused-EQ dual emission.
+
+    Same DMA pipeline as _class_rect_kernel; the banks are the G @ w_cat
+    composition (width P + DPAD), and each class's (Kp, P+DPAD) matmul
+    result splits into out_ref[0, :, j, :] = acc[:, :P] (y0 frames) and
+    inj_ref[0, :, j*DPAD:(j+1)*DPAD] = acc[:, P:] (packed inj) — static
+    lane moves inside VMEM, never a downstream XLA slice.
+    """
+    t = pl.program_id(0)
+    b = pl.program_id(1)
+    step = t * B + b
+    slot = jax.lax.rem(step, 2)
+
+    def dma_main(t_i, b_i, slot_i):
+        return pltpu.make_async_copy(
+            x_hbm.at[b_i, pl.ds(r0_ref[t_i], RG), 0:Kp, :],
+            xbuf.at[slot_i, 0:RG],
+            sems.at[slot_i, 0],
+        )
+
+    def dma_wrap(b_i, slot_i):
+        return pltpu.make_async_copy(
+            x_hbm.at[b_i, 0:wr, 1 : Kp + 1, :],
+            xbuf.at[slot_i, RG : RG + wr],
+            sems.at[slot_i, 1],
+        )
+
+    def start_all(t_i, b_i, slot_i):
+        dma_main(t_i, b_i, slot_i).start()
+        if wr:
+            dma_wrap(b_i, slot_i).start()
+
+    @pl.when(step == 0)
+    def _():
+        start_all(t, b, slot)
+
+    dma_main(t, b, slot).wait()
+    if wr:
+        dma_wrap(b, slot).wait()
+
+    @pl.when(step + 1 < n_groups * B)
+    def _():
+        last_b = b == B - 1
+        t_n = jnp.where(last_b, t + 1, t)
+        b_n = jnp.where(last_b, 0, b + 1)
+        start_all(t_n, b_n, 1 - slot)
+
+    for j in range(CLASS_GROUP):
+        rho = t * CLASS_GROUP + j
+        acc = None
+        for c in range(nc):
+            sl = xbuf[slot, rrel_ref[c, rho]]         # (Kp, 128)
+            if precision == "fast":
+                fh = sl.astype(jnp.bfloat16)
+                fl = (sl - fh.astype(jnp.float32)).astype(jnp.bfloat16)
+                gh = bank_ref[0, j, 0, c * 128 : (c + 1) * 128, :]
+                gl = bank_ref[0, j, 1, c * 128 : (c + 1) * 128, :]
+                term = jnp.dot(fh, gh, preferred_element_type=jnp.float32)
+                term += jnp.dot(fl, gh, preferred_element_type=jnp.float32)
+                term += jnp.dot(fh, gl, preferred_element_type=jnp.float32)
+            else:
+                term = jnp.dot(
+                    sl, bank_ref[0, j, c * 128 : (c + 1) * 128, :],
+                    preferred_element_type=jnp.float32, precision=precision,
+                )
+            acc = term if acc is None else acc + term
+        out_ref[0, :, j, :] = acc[:, :P]
+        inj_ref[0, :, j * DPAD : (j + 1) * DPAD] = acc[:, P : P + DPAD]
+
+
 def polyphase_fir_class_rect_cat(
     x: jnp.ndarray,
     plan: PolyphasePlan,
@@ -534,23 +627,124 @@ def polyphase_fir_class_rect_cat(
     *,
     precision=jax.lax.Precision.HIGHEST,
     interpret: bool = False,
-    pad_frames: bool = True,
     num_frames: int | None = None,
     pad_left: int | None = None,
-) -> jnp.ndarray:
+):
     """Rect FIR kernel with the EQ's weight-concat matmul folded in.
 
-    Emits cat frames (..., F, Vp) with Vp = w_cat.shape[1]: column block
-    [:P] is y0 = frames @ group_fir^T and [P:] is inj = frames @ group_in
-    when w_cat = [group_fir^T | group_in] (see _class_banks_cat) — exactly
-    fusion.6's output in the unfused chain, minus the frames HBM round
-    trip.  ops/eq.equalize_frames_cat consumes this.
+    ``w_cat`` = [group_fir^T | group_in] (P, P+d) float64 — see
+    ops/eq.eq_cat_weights.  Returns
+      * y0 frames (..., F_pad, P): frames @ group_fir^T (the EQ's
+        zero-state within-group response) — same padded frame grid as
+        polyphase_fir_class_rect_frames(pad_frames=True);
+      * inj packed (..., Kp, 128*DPAD): inj[..., k, rho*DPAD + dd] is the
+        state injection of frame 128k+rho (dd < d; the DPAD tail is zero).
+    ops/eq.equalize_frames_cat consumes the pair with zero slicing.
+    Raw-frames identity: y0|inj = (x_win @ G) @ w_cat composed in float64
+    per bank column, quantized once (measures ~2 dB ABOVE the two-stage
+    path's SNR).  Workload: /root/reference/modules/dsp_core.py:166 +
+    216-254 first matmul.
     """
-    return polyphase_fir_class_rect_frames(
-        x, plan, n_out, precision=precision, interpret=interpret,
-        pad_frames=pad_frames, num_frames=num_frames, pad_left=pad_left,
-        _w_cat=np.ascontiguousarray(w_cat, dtype=np.float64),
+    w_cat = np.ascontiguousarray(w_cat, dtype=np.float64)
+    s, P, W = plan.s, plan.P, plan.W
+    if s < 8:
+        raise ValueError("class kernels target the wide-stride regime s>=8")
+    if W > 128 * s:
+        raise ValueError(f"frame width {W} exceeds one super-group {128*s}")
+    if x.ndim == 1:
+        y0, inj = polyphase_fir_class_rect_cat(
+            x[None], plan, n_out, w_cat, precision=precision,
+            interpret=interpret, num_frames=num_frames, pad_left=pad_left,
+        )
+        return y0[0], inj[0]
+    lead = x.shape[:-1]
+    B = int(np.prod(lead))
+    x = x.reshape(B, x.shape[-1])
+
+    if pad_left is None:
+        pad_left = max(0, -plan.lo)
+    if pad_left < 0:
+        x = x[..., -pad_left:]
+        pad_left = 0
+    w0 = 0
+    n = x.shape[-1]
+    if num_frames is None:
+        num_frames = -(-n_out // P)
+    Kp = 8 * -(-(-(-num_frames // NUM_CLASSES)) // 8)
+    Vp = P + DPAD
+
+    nc, r0c, rrel2, RG, wr = _class_rect_geometry(s, W, w0)
+    J0 = Kp + 1
+    total = 128 * s * J0
+    pad_right = total - pad_left - n
+    if pad_right < 0:
+        x = x[..., : n + pad_right]
+        pad_right = 0
+    xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (pad_left, pad_right)))
+    xv = xp.reshape(B, J0, s, 128).transpose(0, 2, 1, 3)  # (B, s, J0, 128)
+
+    CG = CLASS_GROUP
+    n_groups = NUM_CLASSES // CG
+    if precision == "fast":
+        banks = jnp.asarray(_class_banks_cat(plan, w0, w_cat, split=True))
+        banks = banks.reshape(n_groups, CG, 2, nc * 128, Vp)
+        bank_spec = pl.BlockSpec(
+            (1, CG, 2, nc * 128, Vp), lambda t, b, r_, rr_: (t, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        banks = jnp.asarray(_class_banks_cat(plan, w0, w_cat, split=False))
+        banks = banks.reshape(n_groups, CG, nc * 128, Vp)
+        bank_spec = pl.BlockSpec(
+            (1, CG, nc * 128, Vp), lambda t, b, r_, rr_: (t, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    kern = functools.partial(
+        _class_rect_cat_kernel, nc=nc, Kp=Kp, P=P, RG=RG, wr=wr, B=B,
+        n_groups=n_groups, precision=precision,
     )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_groups, B),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),       # xv stays in HBM
+            bank_spec,
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, Kp, CG, P), lambda t, b, r_, rr_: (b, 0, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, Kp, CG * DPAD), lambda t, b, r_, rr_: (b, 0, t),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, RG + max(wr, 1), Kp, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    params = {}
+    if not interpret:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=28 * 1024 * 1024,
+        )
+    out4, inj3 = pl.pallas_call(
+        kern,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Kp, NUM_CLASSES, P), jnp.float32),
+            jax.ShapeDtypeStruct((B, Kp, NUM_CLASSES * DPAD), jnp.float32),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+        **params,
+    )(jnp.asarray(r0c), jnp.asarray(rrel2), xv, banks)
+
+    y0 = out4.reshape(lead + (Kp * NUM_CLASSES, P))
+    inj = inj3.reshape(lead + (Kp, NUM_CLASSES * DPAD))
+    return y0, inj
 
 
 def polyphase_fir_class_rect_frames(
@@ -563,15 +757,12 @@ def polyphase_fir_class_rect_frames(
     pad_frames: bool = False,
     num_frames: int | None = None,
     pad_left: int | None = None,
-    _w_cat: np.ndarray | None = None,
 ) -> jnp.ndarray:
     """Class-major polyphase FIR with rectangle manual-DMA input staging.
 
     Same contract and frame semantics as polyphase_fir_class_frames (same
     pre-rotated banks, same output layout); differs only in how the staged
     input reaches VMEM (see the section comment).  Requires s >= 8.
-    With ``_w_cat`` the banks are the fused G @ w_cat composition and the
-    emitted minor dim is w_cat.shape[1] (use polyphase_fir_class_rect_cat).
     """
     s, P, W = plan.s, plan.P, plan.W
     if s < 8:
@@ -582,7 +773,6 @@ def polyphase_fir_class_rect_frames(
         return polyphase_fir_class_rect_frames(
             x[None], plan, n_out, precision=precision, interpret=interpret,
             pad_frames=pad_frames, num_frames=num_frames, pad_left=pad_left,
-            _w_cat=_w_cat,
         )[0]
     lead = x.shape[:-1]
     B = int(np.prod(lead))
@@ -598,7 +788,6 @@ def polyphase_fir_class_rect_frames(
     if num_frames is None:
         num_frames = -(-n_out // P)
     Kp = 8 * -(-(-(-num_frames // NUM_CLASSES)) // 8)
-    Vp = P if _w_cat is None else _w_cat.shape[1]
 
     nc, r0c, rrel2, RG, wr = _class_rect_geometry(s, W, w0)
     # EXACTLY the BlockSpec kernel's staging (pad + one transpose), with
@@ -616,32 +805,22 @@ def polyphase_fir_class_rect_frames(
     CG = CLASS_GROUP
     n_groups = NUM_CLASSES // CG
     if precision == "fast":
-        if _w_cat is None:
-            banks = jnp.asarray(_class_banks_split(plan, w0))
-        else:
-            banks = jnp.asarray(
-                _class_banks_cat(plan, w0, _w_cat, split=True)
-            )
-        banks = banks.reshape(n_groups, CG, 2, nc * 128, Vp)
+        banks = jnp.asarray(_class_banks_split(plan, w0))
+        banks = banks.reshape(n_groups, CG, 2, nc * 128, P)
         bank_spec = pl.BlockSpec(
-            (1, CG, 2, nc * 128, Vp), lambda t, b, r_, rr_: (t, 0, 0, 0, 0),
+            (1, CG, 2, nc * 128, P), lambda t, b, r_, rr_: (t, 0, 0, 0, 0),
             memory_space=pltpu.VMEM,
         )
     else:
-        if _w_cat is None:
-            banks = jnp.asarray(_class_banks(plan, w0))
-        else:
-            banks = jnp.asarray(
-                _class_banks_cat(plan, w0, _w_cat, split=False)
-            )
-        banks = banks.reshape(n_groups, CG, nc * 128, Vp)
+        banks = jnp.asarray(_class_banks(plan, w0))
+        banks = banks.reshape(n_groups, CG, nc * 128, P)
         bank_spec = pl.BlockSpec(
-            (1, CG, nc * 128, Vp), lambda t, b, r_, rr_: (t, 0, 0, 0),
+            (1, CG, nc * 128, P), lambda t, b, r_, rr_: (t, 0, 0, 0),
             memory_space=pltpu.VMEM,
         )
 
     kern = functools.partial(
-        _class_rect_kernel, nc=nc, Kp=Kp, P=Vp, RG=RG, wr=wr, B=B,
+        _class_rect_kernel, nc=nc, Kp=Kp, P=P, RG=RG, wr=wr, B=B,
         n_groups=n_groups, precision=precision,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -652,7 +831,7 @@ def polyphase_fir_class_rect_frames(
             bank_spec,
         ],
         out_specs=pl.BlockSpec(
-            (1, Kp, CG, Vp), lambda t, b, r_, rr_: (b, 0, t, 0),
+            (1, Kp, CG, P), lambda t, b, r_, rr_: (b, 0, t, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -670,16 +849,16 @@ def polyphase_fir_class_rect_frames(
         )
     out4 = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((B, Kp, NUM_CLASSES, Vp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, Kp, NUM_CLASSES, P), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         **params,
     )(jnp.asarray(r0c), jnp.asarray(rrel2), xv, banks)
 
-    frames = out4.reshape(B, Kp * NUM_CLASSES, Vp)
+    frames = out4.reshape(B, Kp * NUM_CLASSES, P)
     if pad_frames:
-        return frames.reshape(lead + (Kp * NUM_CLASSES, Vp))
-    return frames[:, :num_frames].reshape(lead + (num_frames, Vp))
+        return frames.reshape(lead + (Kp * NUM_CLASSES, P))
+    return frames[:, :num_frames].reshape(lead + (num_frames, P))
 
 
 def polyphase_fir_class_frames(

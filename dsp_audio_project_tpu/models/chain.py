@@ -262,7 +262,7 @@ class AudioPipeline:
         return bool(cfg.eq.active_bands(cfg.src.output_rate(fs)))
 
     def _cat_pieces(self, x: jnp.ndarray, fs: int):
-        """Shared cat-path front end: (cat_frames, plan, n_out, fs_out)."""
+        """Shared cat-path front end: ((y0, inj_p), plan, n_out, fs_out)."""
         from ..kernels.fir_class import polyphase_fir_class_rect_cat
         from ..ops.eq import eq_cat_weights, make_block_operators
         from ..ops.src import make_plan
@@ -278,13 +278,13 @@ class AudioPipeline:
             bands, int(fs_out), cfg.eq.q, 128 * plan.P, plan.P
         )
         with trace_stage("src_eq_cat"):
-            cat = polyphase_fir_class_rect_cat(
+            pair = polyphase_fir_class_rect_cat(
                 x.astype(jnp.float32), plan, n_out, eq_cat_weights(ops),
                 precision=("fast" if kc.src_fast
                            else jax.lax.Precision.HIGHEST),
                 interpret=kc.interpret,
             )
-        return cat, plan, n_out, fs_out
+        return pair, plan, n_out, fs_out
 
     def _forward_cat(self, x: jnp.ndarray, fs: int) -> jnp.ndarray:
         """(x, fs) -> z_frames through the EQ-fused cat kernel.
@@ -296,9 +296,10 @@ class AudioPipeline:
         from ..ops.eq import equalize_frames_cat
 
         cfg = self.config
-        cat, plan, n_out, fs_out = self._cat_pieces(x, fs)
+        (y0, inj_p), plan, n_out, fs_out = self._cat_pieces(x, fs)
         return equalize_frames_cat(
-            cat, fs_out, cfg.eq, unroll=plan.P, fast=cfg.kernels.eq_fast,
+            y0, inj_p, fs_out, cfg.eq, unroll=plan.P,
+            fast=cfg.kernels.eq_fast,
         )
 
     def _forward_cat_spectra(self, x: jnp.ndarray, fs: int):
@@ -315,11 +316,11 @@ class AudioPipeline:
 
         cfg = self.config
         scfg = cfg.spectrum
-        cat, plan, n_out, fs_out = self._cat_pieces(x, fs)
+        (y0, inj_p), plan, n_out, fs_out = self._cat_pieces(x, fs)
         r0, r1 = spectrum_rows_needed(n_out, plan.P, scfg)
         z, z_rows = equalize_frames_cat(
-            cat, fs_out, cfg.eq, unroll=plan.P, fast=cfg.kernels.eq_fast,
-            rows=(r0, r1),
+            y0, inj_p, fs_out, cfg.eq, unroll=plan.P,
+            fast=cfg.kernels.eq_fast, rows=(r0, r1),
         )
         y_rows = resample_rows(x.astype(jnp.float32), plan, r0, r1)
         mx, my, mz = spectra_mag_stacked([

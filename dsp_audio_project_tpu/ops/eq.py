@@ -265,35 +265,27 @@ def eq_cat_weights(ops: BlockOperators) -> np.ndarray:
     )
 
 
-def _grouped_parts_cat(
-    cat_g: jnp.ndarray, ops: BlockOperators, fast: bool = False
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """_grouped_parts when the input IS the pre-multiplied cat tensor
-    (..., K, G, U + d) — y0 and inj come straight off the FIR kernel's
-    fused emission; only the group-Toeplitz state solve remains here.
-    """
-    f32 = jnp.float32
+def _toe_padded(ops: BlockOperators, G: int, dpad: int) -> np.ndarray:
+    """(G*dpad, G*d) float32: group_toeplitz with its INPUT rows spread to
+    the FIR cat kernel's packed-inj stride (kernels/fir_class DPAD layout,
+    inj_p[..., g*dpad + dd]) — the solve runs directly on the packed
+    tensor with no reshape/slice; rows dd >= d are zero (and the packed
+    lanes there are zero too)."""
     d = ops.A.shape[0]
-    U = ops.unroll
-    G = cat_g.shape[-2]
-    lead = cat_g.shape[:-2]
-    y0 = cat_g[..., :U]
-    inj = cat_g[..., U:]
-    toe = jnp.asarray(ops.group_toeplitz, dtype=f32)
-    toe_prec = jax.lax.Precision.HIGH if fast else jax.lax.Precision.HIGHEST
-    s_tail = jnp.einsum(
-        "...x,xy->...y", inj.reshape(lead + (G * d,)), toe,
-        precision=toe_prec, preferred_element_type=f32,
-    ).reshape(lead + (G, d))
-    end_states = s_tail[..., G - 1, :]
-    s_in = jnp.concatenate(
-        [jnp.zeros(lead + (1, d), f32), s_tail[..., : G - 1, :]], axis=-2
-    )
-    return y0, s_in, end_states
+    key = (id(ops), G, dpad, "toe_pad")
+    w = _carry_weight_cache.get(key)
+    if w is None:
+        toe = ops.group_toeplitz.astype(np.float32)   # (G*d, G*d)
+        w = np.zeros((G * dpad, G * d), np.float32)
+        for g in range(G):
+            w[g * dpad : g * dpad + d] = toe[g * d : (g + 1) * d]
+        _carry_weight_cache[key] = w
+    return w
 
 
 def equalize_frames_cat(
-    cat_frames: jnp.ndarray,
+    y0_frames: jnp.ndarray,
+    inj_packed: jnp.ndarray,
     fs: int,
     cfg: EQConfig,
     unroll: int,
@@ -301,51 +293,69 @@ def equalize_frames_cat(
     fast: bool = False,
     rows: Tuple[int, int] | None = None,
 ):
-    """EQ on fused cat input (..., F, U+d) -> clipped frames (..., F, U).
+    """EQ finish on the cat FIR kernel's fused emission.
 
-    ``cat_frames`` is polyphase_fir_class_rect_cat output: per frame,
-    [:U] = y0 (zero-state within-group response) and [U:] = inj (state
-    injection), both already through w_cat = eq_cat_weights(ops).  F must
-    be a multiple of ``groups_per_block`` (the kernel's pad_frames grid
-    guarantees it).  Semantics equal equalize_frames on the raw frames —
-    gated in tests/test_eq.py.
+    ``y0_frames`` (..., F, U): frames @ group_fir^T; ``inj_packed``
+    (..., K, G*DPAD): the packed state injections (see
+    kernels/fir_class.polyphase_fir_class_rect_cat).  Only the
+    group-Toeplitz state solve + carry + readout remain here; the output
+    equals equalize_frames on the raw frames (gated in
+    tests/test_cat_chain.py).  F must be a multiple of
+    ``groups_per_block`` (the kernel's padded grid guarantees it).
 
     ``rows=(r0, r1)``: also return the clipped output rows [r0, r1) as a
-    separate small tensor computed from slices of the kernel-materialized
-    inputs — the spectra consumer's path that avoids slicing the
-    full-size output fusion (a measured 15.7 us full-tensor XLA relayout,
-    STATUS round 4).
+    small side tensor computed from row slices of the kernel-materialized
+    y0 — the spectra consumer's path that avoids slicing the full-size
+    output fusion (a measured 15.7 us full-tensor XLA relayout, STATUS
+    round 4).
     """
+    from ..kernels.fir_class import DPAD
+
     bands = cfg.active_bands(fs)
     if cfg.bypass or not bands:
         raise ValueError("cat path requires an active EQ "
                          "(fold happens against its operators)")
     U = unroll
     G = groups_per_block
-    F = cat_frames.shape[-2]
+    F = y0_frames.shape[-2]
     if F % G:
         raise ValueError(f"frame count {F} not a multiple of {G}")
     K = F // G
     d = 2 * len(bands)
-    if cat_frames.shape[-1] != U + d:
+    if y0_frames.shape[-1] != U:
+        raise ValueError(f"y0 width {y0_frames.shape[-1]} != unroll {U}")
+    if inj_packed.shape[-2:] != (K, G * DPAD):
         raise ValueError(
-            f"cat width {cat_frames.shape[-1]} != unroll {U} + d {d}"
+            f"packed inj shape {inj_packed.shape[-2:]} != {(K, G * DPAD)}"
         )
     ops = make_block_operators(bands, int(fs), cfg.q, G * U, U)
-    lead = cat_frames.shape[:-2]
-    cat_g = cat_frames.reshape(lead + (K, G, U + d))
-    y0, s_in, end_states = _grouped_parts_cat(cat_g, ops, fast=fast)
+    if ops.A.shape[0] != d:
+        raise ValueError("active band count changed under the config")
+    f32 = jnp.float32
+    lead = y0_frames.shape[:-2]
+    y0 = y0_frames.reshape(lead + (K, G, U))
+    toe_prec = jax.lax.Precision.HIGH if fast else jax.lax.Precision.HIGHEST
+    s_tail = jnp.einsum(
+        "...x,xy->...y", inj_packed,
+        jnp.asarray(_toe_padded(ops, G, DPAD)),
+        precision=toe_prec, preferred_element_type=f32,
+    ).reshape(lead + (K, G, d))
+    end_states = s_tail[..., G - 1, :]
+    s_in = jnp.concatenate(
+        [jnp.zeros(lead + (K, 1, d), f32), s_tail[..., : G - 1, :]],
+        axis=-2,
+    )
     sigma = _carry_states(end_states, ops)
-    gPows = jnp.asarray(ops.group_pows, dtype=jnp.float32)
+    gPows = jnp.asarray(ops.group_pows, dtype=f32)
     s_true = s_in + einsum_f32("gef,...kf->...kge", gPows, sigma)
-    gOut = jnp.asarray(ops.group_out, dtype=jnp.float32)
+    gOut = jnp.asarray(ops.group_out, dtype=f32)
     z = jnp.clip(
         y0 + einsum_f32("...gd,du->...gu", s_true, gOut), -1.0, 1.0
     ).reshape(lead + (F, U))
     if rows is None:
         return z
     r0, r1 = rows
-    y0_rows = cat_frames[..., r0:r1, :U]
+    y0_rows = y0_frames[..., r0:r1, :]
     st_rows = s_true.reshape(lead + (F, d))[..., r0:r1, :]
     z_rows = jnp.clip(
         y0_rows + einsum_f32("...gd,du->...gu", st_rows, gOut), -1.0, 1.0

@@ -135,6 +135,44 @@ def test_cat_kernel_lowers_for_tpu():
         ).trace(x).lower(lowering_platforms=("tpu",))
 
 
+def test_cat_kernel_emission_matches_xla_cat():
+    """The kernel's (y0, packed inj) equals frames @ w_cat re-packed."""
+    from dsp_audio_project_tpu.kernels import fir_frames
+    from dsp_audio_project_tpu.kernels.fir_class import (
+        DPAD, polyphase_fir_class_rect_cat,
+    )
+    from dsp_audio_project_tpu.ops.eq import (
+        eq_cat_weights, make_block_operators,
+    )
+    from dsp_audio_project_tpu.ops.src import make_plan
+
+    plan = make_plan(160, 147)
+    fs_out = 48000
+    cfg = EQConfig.from_gains(GAINS)
+    bands = cfg.active_bands(fs_out)
+    ops = make_block_operators(bands, fs_out, cfg.q, 128 * plan.P, plan.P)
+    w_cat = eq_cat_weights(ops)
+    d = ops.A.shape[0]
+    n = FS
+    x = make_x(n, seed=9)
+    n_out = -(-n * 160 // 147)
+    y0, inj_p = polyphase_fir_class_rect_cat(
+        jnp.asarray(x)[None], plan, n_out, w_cat, interpret=True)
+    frames = np.asarray(fir_frames(jnp.asarray(x)[None], plan, n_out,
+                                   pad_frames=True, interpret=True))
+    cat_ref = frames @ w_cat.astype(np.float32)
+    F = frames.shape[1]
+    K = F // 128
+    assert y0.shape == (1, F, plan.P)
+    assert inj_p.shape == (1, K, 128 * DPAD)
+    assert snr_db(cat_ref[..., :plan.P].ravel(),
+                  np.asarray(y0).ravel()) > 110
+    inj_ref = cat_ref[..., plan.P:].reshape(1, K, 128, d)
+    got = np.asarray(inj_p).reshape(1, K, 128, DPAD)
+    assert np.all(got[..., d:] == 0.0)
+    assert snr_db(inj_ref.ravel(), got[..., :d].ravel()) > 110
+
+
 def test_cat_full_program_lowers_for_tpu():
     pipe = AudioPipeline(PipelineConfig(
         src=SRCConfig(L=160, M=147), eq=EQConfig.from_gains(GAINS),
@@ -150,12 +188,15 @@ def test_cat_rejects_wrong_geometry():
     from dsp_audio_project_tpu.ops.eq import equalize_frames_cat
 
     cfg = EQConfig.from_gains(GAINS)
-    bad = jnp.zeros((256, 170), jnp.float32)  # F=256 ok, width mismatch
-    with pytest.raises(ValueError):
-        equalize_frames_cat(bad, 48000, cfg, unroll=165)
-    with pytest.raises(ValueError):
-        equalize_frames_cat(jnp.zeros((100, 170), jnp.float32), 48000,
-                            cfg, unroll=160)  # F not multiple of 128
-    with pytest.raises(ValueError):
-        equalize_frames_cat(jnp.zeros((256, 170), jnp.float32), 48000,
-                            EQConfig(), unroll=160)  # bypass EQ
+    y0 = jnp.zeros((256, 160), jnp.float32)
+    inj = jnp.zeros((2, 128 * 16), jnp.float32)
+    with pytest.raises(ValueError):  # y0 width != unroll
+        equalize_frames_cat(y0, inj, 48000, cfg, unroll=165)
+    with pytest.raises(ValueError):  # F not multiple of 128
+        equalize_frames_cat(jnp.zeros((100, 160), jnp.float32), inj,
+                            48000, cfg, unroll=160)
+    with pytest.raises(ValueError):  # packed inj shape mismatch
+        equalize_frames_cat(y0, jnp.zeros((3, 128 * 16), jnp.float32),
+                            48000, cfg, unroll=160)
+    with pytest.raises(ValueError):  # bypass EQ
+        equalize_frames_cat(y0, inj, 48000, EQConfig(), unroll=160)
