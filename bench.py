@@ -73,16 +73,32 @@ def main() -> None:
         kernels=KernelConfig(eq_fast=True, src_fast=True),
     )
     pipe = AudioPipeline(cfg)
-    # Fused frame-major path (shear FIR kernel -> frames EQ): no lane
-    # retile on device; flat view is free on host.  Falls back to the flat
-    # path when the config/input is outside the fused regime.
+    # Path ladder (fastest supported wins):
+    #   cat    — EQ-fused rect FIR kernel emits [y0 | packed inj]; the
+    #            frames tensor never round-trips HBM (round 5);
+    #   frames — fused frame-major (FIR kernel frames -> frames EQ);
+    #   flat   — jnp/XLA fallback outside the kernel regimes.
     fused = pipe.frames_supported(n)
-    fn = pipe.jit_forward_frames() if fused else pipe.jit_forward()
-    # The headline program: the full declared chain incl. the three spectra.
-    fn_full = (pipe.jit_forward_frames_spectra() if fused
-               else pipe.jit_forward_spectra())
+    use_cat = pipe.cat_supported(n, FS)
+    if use_cat:
+        _cat = pipe.jit_forward_cat()
+        _cat_full = pipe.jit_forward_cat_spectra()
+
+        def fn(v, fs):
+            return _cat(v, fs), None
+
+        def fn_full(v, fs):
+            z, mags = _cat_full(v, fs)
+            return z, None, mags
+    else:
+        fn = pipe.jit_forward_frames() if fused else pipe.jit_forward()
+        # Headline program: the full declared chain incl. the three spectra.
+        fn_full = (pipe.jit_forward_frames_spectra() if fused
+                   else pipe.jit_forward_spectra())
+    fused = fused or use_cat  # both emit frame-major z
     n_out = cfg.src.output_length(n)
-    log(f"device: {jax.devices()[0]}  fused_frames={fused}")
+    log(f"device: {jax.devices()[0]}  path="
+        f"{'cat' if use_cat else 'frames' if fused else 'flat'}")
 
     # Measurement rules for this backend (utils/benchmarking.py):
     #   1. identical input buffers hit an execution cache -> every timed
