@@ -283,6 +283,39 @@ def _toe_padded(ops: BlockOperators, G: int, dpad: int) -> np.ndarray:
     return w
 
 
+def _grouped_parts_packed(
+    y0_g: jnp.ndarray,
+    inj_packed: jnp.ndarray,
+    ops: BlockOperators,
+    fast: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """_grouped_parts from the cat FIR kernel's split emission.
+
+    ``y0_g`` (..., K, G, U) is the kernel's y0 regrouped into EQ blocks;
+    ``inj_packed`` (..., K, G*DPAD) the packed injections.  Returns
+    (y0_g, s_in, end_states) exactly like _grouped_parts — the sharded
+    pipeline and streaming super-steps drop it in and keep their carry /
+    finish flow unchanged.
+    """
+    from ..kernels.fir_class import DPAD
+
+    f32 = jnp.float32
+    d = ops.A.shape[0]
+    G = y0_g.shape[-2]
+    lead = y0_g.shape[:-2]
+    toe_prec = jax.lax.Precision.HIGH if fast else jax.lax.Precision.HIGHEST
+    s_tail = jnp.einsum(
+        "...x,xy->...y", inj_packed,
+        jnp.asarray(_toe_padded(ops, G, DPAD)),
+        precision=toe_prec, preferred_element_type=f32,
+    ).reshape(lead + (G, d))
+    end_states = s_tail[..., G - 1, :]
+    s_in = jnp.concatenate(
+        [jnp.zeros(lead + (1, d), f32), s_tail[..., : G - 1, :]], axis=-2
+    )
+    return y0_g, s_in, end_states
+
+
 def equalize_frames_cat(
     y0_frames: jnp.ndarray,
     inj_packed: jnp.ndarray,
@@ -334,16 +367,8 @@ def equalize_frames_cat(
     f32 = jnp.float32
     lead = y0_frames.shape[:-2]
     y0 = y0_frames.reshape(lead + (K, G, U))
-    toe_prec = jax.lax.Precision.HIGH if fast else jax.lax.Precision.HIGHEST
-    s_tail = jnp.einsum(
-        "...x,xy->...y", inj_packed,
-        jnp.asarray(_toe_padded(ops, G, DPAD)),
-        precision=toe_prec, preferred_element_type=f32,
-    ).reshape(lead + (K, G, d))
-    end_states = s_tail[..., G - 1, :]
-    s_in = jnp.concatenate(
-        [jnp.zeros(lead + (K, 1, d), f32), s_tail[..., : G - 1, :]],
-        axis=-2,
+    y0, s_in, end_states = _grouped_parts_packed(
+        y0, inj_packed, ops, fast=fast
     )
     sigma = _carry_states(end_states, ops)
     gPows = jnp.asarray(ops.group_pows, dtype=f32)

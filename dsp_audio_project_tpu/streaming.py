@@ -373,8 +373,25 @@ class ShardedStreamProcessor:
         self._eq_active = self._dynamic or (
             (not config.eq.bypass) and bool(bands)
         )
+        # EQ-fused cat super-steps (round 5): the rect FIR kernel emits
+        # [y0 | packed inj] per shard, skipping the frames HBM round trip
+        # inside every super-step (kernels/fir_class cat section).  Needs
+        # static gains (the fold bakes the EQ weights into the operator
+        # banks), an active EQ, the rect geometry, and one kernel
+        # precision covering both folded stages.
+        from .kernels.fir_class import rect_supported
+
+        cat_ok = (
+            self._fused and not self._dynamic and self._eq_active
+            and p is not None and rect_supported(p)
+            and bool(config.kernels.src_fast) == bool(config.kernels.eq_fast)
+        )
         fpb = max(1, -(-config.kernels.iir_block // self._P))
         fpb = -(-fpb // 16) * 16
+        if cat_ok:
+            # The packed-inj layout groups frames by the kernel's 128-frame
+            # supers; align the EQ block to a multiple of that.
+            fpb = max(128, -(-fpb // 128) * 128)
         self._fpb = fpb
         # Requested unroll: P on the fused frame-major path (frames feed the
         # EQ directly), 128 on the flat path.  The static builder halves it
@@ -393,6 +410,9 @@ class ShardedStreamProcessor:
         self._fl = frames_per_shard
         self._K_loc = self._fl // fpb
         self._F_sup = self._nb * self._fl
+        # Sub-1024-frame steps would pay the kernel's padded grid (it
+        # computes ceil(fl/1024)*1024 frames); keep them on the unfused EQ.
+        self._cat = cat_ok and self._fl % 1024 == 0
 
         if self._dynamic:
             # Dynamic-gains serving mode: the EQ operators are a traced
@@ -586,6 +606,44 @@ class ShardedStreamProcessor:
             w_idx = np.arange(plan.W, dtype=np.int32)[None, :]
             gather_idx = k_idx * plan.s + w_idx
 
+        def extend_halo(x_loc, tail):
+            """Halo exchange: per-shard input + right halo from the next
+            shard (or the real stream tail on the last shard)."""
+            xf = x_loc.astype(jnp.float32)
+            if not hr:
+                return xf
+            nb_ = jax.lax.axis_size(BLOCK_AXIS)
+            right = jax.lax.ppermute(
+                xf[..., :hr], BLOCK_AXIS,
+                [(i + 1, i) for i in range(nb_ - 1)],
+            )
+            my = jax.lax.axis_index(BLOCK_AXIS)
+            # The last shard's halo is the real stream tail, not the
+            # ppermute zero edge (mid-stream the signal continues).
+            right = jnp.where(
+                my == nb_ - 1, tail.astype(jnp.float32), right
+            )
+            return jnp.concatenate([xf, right], axis=-1)
+
+        if self._cat:
+            w_cat_np = eq_ops.eq_cat_weights(ops)
+
+        def local_src_cat(x_loc, tail):
+            """Halo + EQ-fused cat SRC: (y0 (C, fl, P), inj (C, fl/128,
+            128*DPAD)) — kernel-grid pad rows cropped (row slices of the
+            kernel-materialized outputs; cheap, layout-aligned)."""
+            from .kernels.fir_class import polyphase_fir_class_rect_cat
+
+            x_ext = extend_halo(x_loc, tail)
+            y0p, ip = polyphase_fir_class_rect_cat(
+                x_ext, plan, fl * P_cls, w_cat_np, num_frames=fl,
+                pad_left=0,
+                precision="fast" if kc.src_fast
+                else jax.lax.Precision.HIGHEST,
+                interpret=kc.interpret,
+            )
+            return y0p[..., :fl, :], ip[..., : fl // 128, :]
+
         def local_src(x_loc, tail):
             """Halo exchange + per-shard SRC -> frames (C, fl, P)."""
             from .ops.src import shifted_frames_matmul
@@ -593,21 +651,7 @@ class ShardedStreamProcessor:
             xf = x_loc.astype(jnp.float32)
             if plan is None:
                 return xf
-            if hr:
-                nb_ = jax.lax.axis_size(BLOCK_AXIS)
-                right = jax.lax.ppermute(
-                    xf[..., :hr], BLOCK_AXIS,
-                    [(i + 1, i) for i in range(nb_ - 1)],
-                )
-                my = jax.lax.axis_index(BLOCK_AXIS)
-                # The last shard's halo is the real stream tail, not the
-                # ppermute zero edge (mid-stream the signal continues).
-                right = jnp.where(
-                    my == nb_ - 1, tail.astype(jnp.float32), right
-                )
-                x_ext = jnp.concatenate([xf, right], axis=-1)
-            else:
-                x_ext = xf
+            x_ext = extend_halo(x_loc, tail)
             if fused:
                 # The production Pallas kernel (class/shear, routed by
                 # kernels.fir_frames).  x_ext index 0 is frame 0's window
@@ -678,6 +722,27 @@ class ShardedStreamProcessor:
             return jnp.clip(z.reshape(like.shape), -1.0, 1.0)
 
         def local_fn(x_loc, tail, sigma_in):
+            if self._cat:
+                y, ip = local_src_cat(x_loc, tail)    # y = y0 frames
+                x_g = y.reshape(y.shape[:-2] + (K_loc, fpb, P_cls))
+                from .kernels.fir_class import DPAD
+
+                ipg = ip.reshape(
+                    y.shape[:-2] + (K_loc, fpb * DPAD)
+                )
+                y0, s_in, e = eq_ops._grouped_parts_packed(
+                    x_g, ipg, ops, fast=fast
+                )
+                sigma_local = eq_ops._carry_states(e, ops)
+                sigma, sigma_out = cross_shard(
+                    sigma_local, e, sigma_in,
+                    jnp.asarray(weights), jnp.asarray(pows_f32[:nb]),
+                    jnp.asarray(pows_f32[nb]), jnp.asarray(w_out),
+                    jnp.asarray(ops.state_corr, jnp.float32),
+                    jnp.asarray(pk_f32),
+                )
+                z = eq_ops._grouped_finish(y0, s_in, sigma, ops)
+                return finalize(z, y), sigma_out
             y = local_src(x_loc, tail)           # frames if fused else flat
             if plan is not None and not fused:
                 y = y.reshape(x_loc.shape[:-1] + (fl * P_cls,))

@@ -200,3 +200,83 @@ def test_cat_rejects_wrong_geometry():
                             48000, cfg, unroll=160)
     with pytest.raises(ValueError):  # bypass EQ
         equalize_frames_cat(y0, inj, 48000, EQConfig(), unroll=160)
+
+
+def _run_stream(sp, xs, in_step, n):
+    outs = []
+    i = 0
+    while (i + 1) * in_step <= n:
+        outs.append(sp.process(xs[:, i * in_step:(i + 1) * in_step]))
+        i += 1
+    outs.append(sp.process(xs[:, i * in_step:]))
+    outs.append(sp.flush())
+    return np.concatenate(outs, axis=1)
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 1), (2, 2)])
+def test_cat_streaming_matches_plain(mesh_shape):
+    """Cat super-steps (EQ-fused kernel inside the shard) == plain fused
+    super-steps; also the carry survives checkpoint/resume bitwise."""
+    from dsp_audio_project_tpu.config import KernelConfig, MeshConfig
+    from dsp_audio_project_tpu.parallel.mesh import build_mesh
+    from dsp_audio_project_tpu.streaming import ShardedStreamProcessor
+
+    fs = FS
+    cfg = PipelineConfig(
+        src=SRCConfig(L=160, M=147), eq=EQConfig.from_gains(GAINS),
+        kernels=KernelConfig(eq_fast=True, src_fast=True, interpret=True),
+    )
+    mc, mb = mesh_shape
+    mesh = build_mesh(MeshConfig(channel_devices=mc, block_devices=mb))
+    C, FL = 2, 1024
+    n = 4 * fs
+    rng = np.random.default_rng(7)
+    xs = np.stack([make_x(n, seed=11),
+                   (0.3 * rng.standard_normal(n)).astype(np.float32)])
+
+    sp = ShardedStreamProcessor(cfg, fs, mesh, C, frames_per_shard=FL)
+    assert sp._cat, "cat super-steps should engage on this config"
+    in_step = mb * FL * sp._s
+    z = _run_stream(sp, xs, in_step, n)
+
+    sp2 = ShardedStreamProcessor(cfg, fs, mesh, C, frames_per_shard=FL)
+    sp2._cat = False
+    z2 = _run_stream(sp2, xs, in_step, n)
+    assert z.shape == z2.shape
+    assert snr_db(z2.ravel(), z.ravel()) > 95
+
+    want, _ = pipeline_oracle(xs[0], fs, cfg.src, cfg.eq, engine="fast")
+    m = min(len(want), z.shape[1])
+    assert snr_db(want[:m], z[0][:m]) > 90
+
+
+def test_cat_streaming_resume_bitwise():
+    from dsp_audio_project_tpu.config import KernelConfig, MeshConfig
+    from dsp_audio_project_tpu.parallel.mesh import build_mesh
+    from dsp_audio_project_tpu.streaming import ShardedStreamProcessor
+
+    fs = FS
+    cfg = PipelineConfig(
+        src=SRCConfig(L=160, M=147), eq=EQConfig.from_gains(GAINS),
+        kernels=KernelConfig(eq_fast=True, src_fast=True, interpret=True),
+    )
+    mesh = build_mesh(MeshConfig(channel_devices=1, block_devices=1))
+    C, FL = 2, 1024
+    n = 3 * fs
+    xs = np.stack([make_x(n, seed=21), make_x(n, seed=22)])
+    sp_full = ShardedStreamProcessor(cfg, fs, mesh, C, frames_per_shard=FL)
+    assert sp_full._cat
+    in_step = FL * sp_full._s
+    z_full = _run_stream(sp_full, xs, in_step, n)
+
+    cut = 2 * in_step
+    sp1 = ShardedStreamProcessor(cfg, fs, mesh, C, frames_per_shard=FL)
+    p1 = sp1.process(xs[:, :cut])
+    blob = sp1.state_bytes()
+    sp2 = ShardedStreamProcessor.resume(cfg, mesh, C, blob,
+                                        frames_per_shard=FL)
+    assert sp2._cat
+    p2 = np.concatenate([sp2.process(xs[:, cut:]), sp2.flush()], axis=1)
+    resumed = np.concatenate([p1, p2], axis=1)
+    assert resumed.shape == z_full.shape
+    assert np.array_equal(z_full, resumed)
