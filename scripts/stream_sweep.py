@@ -39,17 +39,20 @@ def log(m):
 
 def main():
     fls = [int(a) for a in sys.argv[1:]] or [1024, 2048, 4096, 8192]
+    # Signal long enough for >= 3 steps at the largest requested step
+    # (FL=16384 needs a 240 s signal — round-4 measurement note).
+    global_need = max(fls) * 147 * 3.2 / FS
     cfg = PipelineConfig(
         src=SRCConfig(L=160, M=147), eq=EQConfig.from_gains(GAINS),
         kernels=KernelConfig(eq_fast=True, src_fast=True),
     )
     mesh1 = build_mesh(MeshConfig(channel_devices=1, block_devices=1))
     C = 8
-    seconds = 120.0
+    seconds = max(120.0, global_need)
     n = int(seconds * FS)
     rng = np.random.default_rng(3)
     xs = (rng.standard_normal((C, n)) * 0.4).astype(np.float32)
-    one_shot_sps = 14.70e9  # BENCH r4 src+eq line (0.180 ms / 60 s signal)
+    one_shot_sps = 16.03e9  # BENCH r5 src+eq line (0.165 ms / 60 s signal)
     log(f"device: {jax.devices()[0]}  C={C}  signal={seconds:.0f}s")
     for fl in fls:
         sp = ShardedStreamProcessor(cfg, FS, mesh1, C, frames_per_shard=fl)
