@@ -214,6 +214,32 @@ def _local_resample_shear(
     )
 
 
+def _local_resample_cat(
+    x_loc: jnp.ndarray, plan: src_ops.PolyphasePlan, sp: ShardPlan,
+    interpret: bool, fast: bool, w_cat: np.ndarray,
+):
+    """Shard-local EQ-fused cat kernel: (y0 frames, packed inj).
+
+    Same halo handling as _local_resample_shear; the rect cat kernel
+    (kernels/fir_class) emits the EQ's [y0 | inj] directly so the frames
+    tensor never round-trips HBM inside the shard.  frames_local is a
+    1024-granule multiple (=_plan_shards fused), so the kernel grid emits
+    exactly frames_local rows — no crop.
+    """
+    import jax as _jax
+
+    from ..kernels.fir_class import polyphase_fir_class_rect_cat
+
+    x_ext = _halo_extend(x_loc, sp)
+    return polyphase_fir_class_rect_cat(
+        x_ext.astype(jnp.float32), plan, sp.n_out_local, w_cat,
+        num_frames=sp.frames_local,
+        pad_left=-(plan.lo + sp.halo_left),
+        precision="fast" if fast else _jax.lax.Precision.HIGHEST,
+        interpret=interpret,
+    )
+
+
 def _cross_shard_sigma(
     e_loc: jnp.ndarray, ops: BlockOperators, n_out_local: int
 ) -> jnp.ndarray:
@@ -251,6 +277,7 @@ def build_sharded_pipeline(
     n: int,
     channels: int,
     fused: bool | None = None,
+    cat: bool = False,
 ):
     """Compile a sharded processor for fixed (fs, N, C).
 
@@ -282,6 +309,21 @@ def build_sharded_pipeline(
         )
     if fused and (plan_probe is None or plan_probe.s < 8):
         raise ValueError("fused sharded path requires SRC with stride s >= 8")
+    if cat:
+        # EQ-fused cat shards (round 5): z-only output (the y intermediate
+        # is never materialized — use fused=True when you need it).
+        from ..kernels.fir_class import rect_supported
+
+        kc = config.kernels
+        if not fused:
+            raise ValueError("cat sharding implies the fused frame path")
+        if plan_probe is None or not rect_supported(plan_probe):
+            raise ValueError("cat sharding needs the rect kernel geometry")
+        if bool(kc.src_fast) != bool(kc.eq_fast):
+            raise ValueError(
+                "cat sharding folds both stages into one kernel precision; "
+                "set src_fast == eq_fast"
+            )
     sp, plan = _plan_shards(
         n, channels, mesh_channel, mesh_block, src_cfg,
         config.kernels.iir_block, fused=bool(fused),
@@ -370,6 +412,40 @@ def build_sharded_pipeline(
         z = eq_ops._grouped_finish(y0, s_in, sigma, ops)
         return jnp.clip(z.reshape(y_loc.shape), -1.0, 1.0), y_loc
 
+    if cat:
+        if not eq_active:
+            raise ValueError("cat sharding requires an active EQ")
+        from ..kernels.fir_class import DPAD
+
+        w_cat_np = eq_ops.eq_cat_weights(ops)
+        fpb_cat = ops.block // plan.P
+
+        def local_fn_cat(x_loc):
+            y0f, ip = _local_resample_cat(
+                x_loc, plan, sp, config.kernels.interpret,
+                config.kernels.src_fast, w_cat_np,
+            )
+            lead = y0f.shape[:-2]
+            x_g = y0f.reshape(lead + (K_loc, fpb_cat, plan.P))
+            ipg = ip.reshape(lead + (K_loc, fpb_cat * DPAD))
+            y0, s_in, e = eq_ops._grouped_parts_packed(
+                x_g, ipg, ops, fast=config.kernels.eq_fast
+            )
+            sigma_local = eq_ops._carry_states(e, ops)
+            sigma = _shard_sigma(e, sigma_local)
+            z = eq_ops._grouped_finish(y0, s_in, sigma, ops)
+            return jnp.clip(
+                z.reshape(lead + (sp.n_out_local,)), -1.0, 1.0
+            )
+
+        spec = P(CHANNEL_AXIS, BLOCK_AXIS)
+        sharded = shard_map(
+            local_fn_cat, mesh=mesh,
+            in_specs=(spec,), out_specs=spec,
+            check_vma=False,
+        )
+        return jax.jit(sharded), sp
+
     spec = P(CHANNEL_AXIS, BLOCK_AXIS)
     sharded = shard_map(
         local_fn_fused if fused else local_fn, mesh=mesh,
@@ -388,11 +464,13 @@ def run_sharded(
     config: PipelineConfig,
     mesh: Mesh,
     fused: bool | None = None,
+    cat: bool = False,
 ) -> Tuple[jax.Array, jax.Array, int, ShardPlan]:
     """Pad, shard, process, crop: the host-facing sharded entry point.
 
     ``x``: (C, N) float32.  Returns (z, y, fs_out, plan) with z cropped to
-    the true (C, n_out).
+    the true (C, n_out).  With ``cat=True`` the EQ-fused cat shards run
+    (fastest serving path; y is not materialized — returned as None).
     """
     if x.ndim == 1:
         x = x[None, :]
@@ -400,10 +478,12 @@ def run_sharded(
     # One compile per (mesh, config, geometry): repeated calls reuse the
     # jitted executable (a fresh build per call would retrace every time —
     # Mesh, PipelineConfig and the ints are all hashable).
-    key = (mesh, config, fs, n, c, fused)
+    key = (mesh, config, fs, n, c, fused, cat)
     hit = _sharded_cache.get(key)
     if hit is None:
-        hit = build_sharded_pipeline(mesh, config, fs, n, c, fused=fused)
+        hit = build_sharded_pipeline(
+            mesh, config, fs, n, c, fused=(True if cat else fused), cat=cat
+        )
         _sharded_cache[key] = hit
     fn, sp = hit
     mesh_block = mesh.shape[BLOCK_AXIS]
@@ -412,6 +492,9 @@ def run_sharded(
     xp[:c, :n] = x
     sharding = NamedSharding(mesh, P(CHANNEL_AXIS, BLOCK_AXIS))
     xd = jax.device_put(xp, sharding)
-    z, y = fn(xd)
     fs_out = config.src.output_rate(fs)
+    if cat:
+        z = fn(xd)
+        return z[:c, : sp.n_out], None, fs_out, sp
+    z, y = fn(xd)
     return z[:c, : sp.n_out], y[:c, : sp.n_out], fs_out, sp

@@ -280,3 +280,31 @@ def test_cat_streaming_resume_bitwise():
     resumed = np.concatenate([p1, p2], axis=1)
     assert resumed.shape == z_full.shape
     assert np.array_equal(z_full, resumed)
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4), (8, 1)])
+def test_cat_sharded_matches_fused(mesh_shape):
+    """EQ-fused cat shards == fused shards == oracle across mesh splits."""
+    from dsp_audio_project_tpu.config import KernelConfig, MeshConfig
+    from dsp_audio_project_tpu.parallel.mesh import build_mesh
+    from dsp_audio_project_tpu.parallel.pipeline import run_sharded
+
+    cfg = PipelineConfig(
+        src=SRCConfig(L=160, M=147), eq=EQConfig.from_gains(GAINS),
+        kernels=KernelConfig(eq_fast=True, src_fast=True, interpret=True),
+    )
+    mc, mb = mesh_shape
+    mesh = build_mesh(MeshConfig(channel_devices=mc, block_devices=mb))
+    C = 2
+    n = 4 * FS
+    rng = np.random.default_rng(17)
+    xs = np.stack([make_x(n, seed=31),
+                   (0.3 * rng.standard_normal(n)).astype(np.float32)])
+    z_cat, y_none, fs_out, _ = run_sharded(xs, FS, cfg, mesh, cat=True)
+    assert y_none is None
+    z_f, _, _, _ = run_sharded(xs, FS, cfg, mesh, fused=True)
+    z_cat, z_f = np.asarray(z_cat), np.asarray(z_f)
+    assert z_cat.shape == z_f.shape
+    assert snr_db(z_f.ravel(), z_cat.ravel()) > 95
+    want, _ = pipeline_oracle(xs[0], FS, cfg.src, cfg.eq, engine="fast")
+    assert snr_db(want[: z_cat.shape[1]], z_cat[0]) > 90
