@@ -103,6 +103,35 @@ def main() -> None:
         f"-> overhead {100 * (ratio - 1):.1f}%"
     )
 
+    # EQ-fused cat shards (round 5) vs the unsharded cat chain.
+    z_cat, _, _, _ = run_sharded(x, fs, cfg, mesh, cat=True)
+    q_cat = min(
+        snr_db(pipeline_oracle(x[c], fs, cfg.src, cfg.eq, engine="fast")[0],
+               np.asarray(z_cat)[c])
+        for c in range(2)
+    )
+    print(f"sharded CAT 1x1 on real chip: SNR >= {q_cat:.1f} dB (gate 60)")
+    assert q_cat > 60.0
+    fn_cat, sp3 = build_sharded_pipeline(mesh, cfg, fs, n, channels,
+                                         fused=True, cat=True)
+    xp3 = np.zeros((sp3.c_pad, sp3.n_in_local), dtype=np.float32)
+    xp3[:channels, :n] = x
+    xd3 = jax.device_put(jnp.asarray(xp3))
+    f_sc = jax.jit(lambda v: jnp.sum(fn_cat(v)))
+    float(f_sc(xd3))
+    ms_sharded_cat, _ = profile_device_ops(f_sc, xd3)
+
+    fn_ucat = pipe.jit_forward_cat()
+    f_uc = jax.jit(lambda v: jnp.sum(fn_ucat(v, fs)))
+    float(f_uc(xb))
+    ms_unsharded_cat, _ = profile_device_ops(f_uc, xb)
+    r2 = ms_sharded_cat / ms_unsharded_cat
+    print(
+        f"device time CAT ({channels} ch x {seconds:.0f}s): sharded 1x1 "
+        f"{ms_sharded_cat:.3f} ms vs unsharded {ms_unsharded_cat:.3f} ms "
+        f"-> overhead {100 * (r2 - 1):.1f}%"
+    )
+
 
 if __name__ == "__main__":
     main()
