@@ -308,3 +308,31 @@ def test_cat_sharded_matches_fused(mesh_shape):
     assert snr_db(z_f.ravel(), z_cat.ravel()) > 95
     want, _ = pipeline_oracle(xs[0], FS, cfg.src, cfg.eq, engine="fast")
     assert snr_db(want[: z_cat.shape[1]], z_cat[0]) > 90
+
+
+def test_round5_experiment_kernels_parity():
+    """Dead-end ledger kernels stay correct (splitbank/rowdma vs rect)."""
+    from dsp_audio_project_tpu.kernels.experiments.fir_rowdma import (
+        polyphase_fir_rect_rowdma,
+    )
+    from dsp_audio_project_tpu.kernels.experiments.fir_splitbank import (
+        polyphase_fir_rect_splitbank,
+    )
+    from dsp_audio_project_tpu.kernels.fir_class import (
+        polyphase_fir_class_rect_frames,
+    )
+    from dsp_audio_project_tpu.ops.src import make_plan
+
+    plan = make_plan(160, 147)
+    n = FS
+    n_out = -(-n * 160 // 147)
+    x = jnp.asarray(np.stack([make_x(n, seed=41), make_x(n, seed=42)]))
+    ref = np.asarray(polyphase_fir_class_rect_frames(
+        x, plan, n_out, pad_frames=True, interpret=True))
+    for fn in (polyphase_fir_rect_splitbank, polyphase_fir_rect_rowdma):
+        got = np.asarray(fn(x, plan, n_out, pad_frames=True, interpret=True))
+        assert np.array_equal(ref, got), fn.__name__
+    # and they lower for TPU
+    for fn in (polyphase_fir_rect_splitbank, polyphase_fir_rect_rowdma):
+        jax.jit(lambda v, fn=fn: fn(v, plan, n_out, pad_frames=True)
+                ).trace(x).lower(lowering_platforms=("tpu",))
