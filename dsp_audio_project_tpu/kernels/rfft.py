@@ -403,3 +403,155 @@ def rfft_pallas_four_step_tall(
     return z.reshape(lead + (n // 2 + 1,))
 
 
+
+# ---- HBM-staged two-level four-step (round 5): N >= 1048576 ----------------
+#
+# The single-pass tall kernel tops out at N = 524288: the next split's
+# tables + step temporaries outgrow VMEM (STATUS round 4).  Above it the
+# four-step factorizes the same way — A = X2 @ D1, twiddle, C = D2 @ B —
+# but the intermediate B (N complex f32 = 8 MB/row at N = 1M) stages
+# through HBM between TWO pallas passes, each tiled to a comfortable VMEM
+# footprint:
+#
+#   stage 1  grid (rows, n2/TILE2): block (TILE2, n1) of the transposed
+#            row, ONE lane-contraction matmul against D1 (bf16 hi/lo pair,
+#            weight-side bf16x3) + the elementwise twiddle, emitting the
+#            (2, TILE2, n1) planes of B;
+#   stage 2  grid (rows, n1/TILE1): per k1-column block, the complex row
+#            DFT C = D2 @ B as four (n2, n2) x (n2, TILE1) matmuls
+#            (weight-side bf16x3 D2 pair).
+#
+# HBM per row ~ x 4 + B 8 + 8 + out 4 MB = 24 MB (~30 us at roofline) vs
+# the XLA butterfly's 21 passes over 8 MB complex.  Numbers in
+# ops/fft._rfft_kernel_plan.
+
+_TILE2 = 512   # stage-1 rows (j2) per grid step
+_TILE1 = 512   # stage-2 k1 columns per grid step
+
+
+def _two_level_stage1_kernel(x_ref, d1_ref, tw_ref, o_ref, *, precision):
+    x2 = x_ref[0]                                     # (TILE2, n1) real
+    if precision == "fast":
+        xh = x2.astype(jnp.bfloat16)
+        xl = (x2 - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        def dot3_w(wh, wl):
+            acc = jnp.dot(xh, wh, preferred_element_type=jnp.float32)
+            acc += jnp.dot(xl, wh, preferred_element_type=jnp.float32)
+            acc += jnp.dot(xh, wl, preferred_element_type=jnp.float32)
+            return acc
+    else:
+        def dot3_w(wh, wl):
+            return jnp.dot(
+                x2, wh.astype(jnp.float32) + wl.astype(jnp.float32),
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+
+    ar = dot3_w(d1_ref[0, 0], d1_ref[1, 0])
+    ai = dot3_w(d1_ref[0, 1], d1_ref[1, 1])
+    twr = tw_ref[0]
+    twi = tw_ref[1]
+    o_ref[0, 0] = ar * twr - ai * twi
+    o_ref[0, 1] = ar * twi + ai * twr
+
+
+def _two_level_stage2_kernel(b_ref, d2_ref, o_ref, *, magnitude, precision):
+    br = b_ref[0, 0]                                  # (n2, TILE1)
+    bi = b_ref[0, 1]
+    d2r = (d2_ref[0, 0], d2_ref[1, 0])
+    d2i = (d2_ref[0, 1], d2_ref[1, 1])
+    c_rr = _dot_nt(d2r, br, precision)
+    c_ii = _dot_nt(d2i, bi, precision)
+    c_ri = _dot_nt(d2r, bi, precision)
+    c_ir = _dot_nt(d2i, br, precision)
+    cr = c_rr - c_ii
+    ci = c_ri + c_ir
+    if magnitude:
+        o_ref[0, 0] = jnp.sqrt(cr * cr + ci * ci)
+    else:
+        o_ref[0, 0] = cr
+        o_ref[0, 1] = ci
+
+
+def rfft_pallas_two_level(
+    x: jnp.ndarray,
+    *,
+    n2: int | None = None,
+    magnitude: bool = False,
+    precision=jax.lax.Precision.HIGHEST,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Batched rfft for N >= 1048576 via the HBM-staged two-level four-step.
+
+    Same contract as rfft_pallas_four_step_tall.  Default split is the
+    balanced n2 = sqrt(N) (n1 = n2 = 1024 at N = 1M); both DFT tables ship
+    as exact bf16 hi/lo pairs.
+    """
+    n = x.shape[-1]
+    if n < 4 or (n & (n - 1)) != 0:
+        raise ValueError(f"needs power-of-two N, got {n}")
+    if n2 is None:
+        n2 = 1 << ((n.bit_length() - 1) // 2)
+    n1 = n // n2
+    if n1 % 128 or n2 % _TILE2 or n1 % _TILE1:
+        raise ValueError(f"split n1={n1}, n2={n2} not tileable")
+    lead = x.shape[:-1]
+    x2 = x.reshape((-1, n)).astype(jnp.float32)
+    rows = x2.shape[0]
+    # Row-major (j1, j2) -> lane-major (j2, j1): one XLA staging transpose.
+    x4 = jnp.swapaxes(x2.reshape(rows, n1, n2), -1, -2)
+
+    d1, tw, d2 = _four_step_tall_tables(n, n2)
+    if d1.ndim == 3:  # n1 <= 512 (non-square split): make the pair form
+        import ml_dtypes
+
+        d1h = d1.astype(ml_dtypes.bfloat16)
+        d1l = (d1 - d1h.astype(np.float32)).astype(ml_dtypes.bfloat16)
+        d1 = np.stack([d1h, d1l])
+
+    b = pl.pallas_call(
+        functools.partial(_two_level_stage1_kernel, precision=precision),
+        grid=(rows, n2 // _TILE2),
+        in_specs=[
+            pl.BlockSpec((1, _TILE2, n1), lambda r, j: (r, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(d1.shape, lambda r, j: (0,) * d1.ndim,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, _TILE2, n1), lambda r, j: (0, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2, _TILE2, n1),
+                               lambda r, j: (r, 0, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, 2, n2, n1), jnp.float32),
+        interpret=interpret,
+        **({} if interpret else {"compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=40 * 1024 * 1024)}),
+    )(x4, jnp.asarray(d1), jnp.asarray(tw))
+
+    planes = 1 if magnitude else 2
+    out = pl.pallas_call(
+        functools.partial(_two_level_stage2_kernel, magnitude=magnitude,
+                          precision=precision),
+        grid=(rows, n1 // _TILE1),
+        in_specs=[
+            pl.BlockSpec((1, 2, n2, _TILE1), lambda r, k: (r, 0, 0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(d2.shape, lambda r, k: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, planes, n2, _TILE1),
+                               lambda r, k: (r, 0, 0, k),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, planes, n2, n1), jnp.float32),
+        interpret=interpret,
+        **({} if interpret else {"compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=40 * 1024 * 1024)}),
+    )(b, jnp.asarray(d2))
+
+    # C[k2, k1] flattens straight to X[k1 + n1 k2]: crop to N//2+1.
+    out = out.reshape(rows, planes, n)[:, :, : n // 2 + 1]
+    if magnitude:
+        return out[:, 0, :].reshape(lead + (n // 2 + 1,))
+    z = out[:, 0, :] + 1j * out[:, 1, :]
+    return z.reshape(lead + (n // 2 + 1,))

@@ -256,17 +256,29 @@ def _rfft_kernel_plan(n: int):
         return ("tall", (1, 512))     # n1 = n2 = 512, balanced split
     if n == 524288:
         return ("tall", (1, 512))     # n1 = 1024: bf16-pair D1, 48 MB VMEM
+    if n == 1048576:
+        # HBM-staged two-level four-step (kernels/rfft.py round-5 section):
+        # the intermediate B stages through HBM between two tiled passes,
+        # so VMEM holds only one (512, n1) tile + the bf16-pair tables.
+        # Measured at N=1048576 (scripts/rfft_sweep.py round 5): 0.533 ms
+        # /2 rows vs 19.81 ms XLA butterfly = 37.2x, rel 5.8e-6.
+        return ("two_level", None)
     return None
 
 
 def _rfft_kernel_dispatch(x: jnp.ndarray, plan, magnitude: bool, fast: bool):
-    from ..kernels.rfft import rfft_pallas_four_step, rfft_pallas_four_step_tall
+    from ..kernels.rfft import (
+        rfft_pallas_four_step, rfft_pallas_four_step_tall,
+        rfft_pallas_two_level,
+    )
 
     prec = "fast" if fast else jax.lax.Precision.HIGHEST
     kind, arg = plan
     if kind == "four_step":
         return rfft_pallas_four_step(x, n1=arg, magnitude=magnitude,
                                      precision=prec)
+    if kind == "two_level":
+        return rfft_pallas_two_level(x, magnitude=magnitude, precision=prec)
     rt, n2 = arg
     return rfft_pallas_four_step_tall(x, row_tile=rt, n2=n2,
                                       magnitude=magnitude, precision=prec)
@@ -286,7 +298,7 @@ def rfft_magnitude(
     plan = _rfft_kernel_plan(x.shape[-1])
     if engine == "pallas" and plan is None:
         raise ValueError(
-            f"engine='pallas' requires a power-of-two N in [256, 524288], "
+            f"engine='pallas' requires a power-of-two N in [256, 1048576], "
             f"got {x.shape[-1]}"
         )
     use_kernel = engine == "pallas" or (

@@ -65,3 +65,46 @@ def test_non_pow2_rejected():
     # (SURVEY.md C2); the build rejects cleanly instead.
     with pytest.raises(ValueError, match="power of two"):
         fft(jnp.zeros(12, dtype=jnp.complex64))
+
+
+def test_two_level_rfft_matches_numpy():
+    """HBM-staged two-level four-step (round 5): N = 1048576 parity."""
+    import numpy as np
+
+    from dsp_audio_project_tpu.kernels.rfft import rfft_pallas_two_level
+
+    rng = np.random.default_rng(5)
+    n = 1 << 20
+    x = rng.standard_normal((2, n)).astype(np.float32)
+    got = np.asarray(
+        rfft_pallas_two_level(jnp.asarray(x), magnitude=True,
+                              interpret=True)
+    )
+    want = np.abs(np.fft.rfft(x))
+    assert got.shape == (2, n // 2 + 1)
+    rel = np.max(np.abs(got - want)) / np.max(want)
+    assert rel < 1e-4
+    # complex (non-magnitude) form too
+    z = np.asarray(
+        rfft_pallas_two_level(jnp.asarray(x[:1]), interpret=True)
+    )
+    zi = np.fft.rfft(x[:1])
+    assert np.max(np.abs(z - zi)) / np.max(np.abs(zi)) < 1e-4
+
+
+def test_two_level_rfft_routed_and_lowers():
+    import numpy as np
+
+    from dsp_audio_project_tpu.kernels.rfft import rfft_pallas_two_level
+    from dsp_audio_project_tpu.ops.fft import _rfft_kernel_plan
+
+    import jax
+
+    assert _rfft_kernel_plan(1 << 20) == ("two_level", None)
+    assert _rfft_kernel_plan(1 << 21) is None  # compile-fails on v5e; see plan docstring
+    x = jnp.zeros((2, 1 << 20), jnp.float32)
+    for precision in (jax.lax.Precision.HIGHEST, "fast"):
+        jax.jit(
+            lambda v: rfft_pallas_two_level(v, magnitude=True,
+                                            precision=precision)
+        ).trace(x).lower(lowering_platforms=("tpu",))
