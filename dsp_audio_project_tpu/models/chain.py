@@ -299,7 +299,7 @@ class AudioPipeline:
         (y0, inj_p), plan, n_out, fs_out = self._cat_pieces(x, fs)
         return equalize_frames_cat(
             y0, inj_p, fs_out, cfg.eq, unroll=plan.P,
-            fast=cfg.kernels.eq_fast,
+            fast=cfg.kernels.eq_fast, interpret=cfg.kernels.interpret,
         )
 
     def _forward_cat_spectra(self, x: jnp.ndarray, fs: int):
@@ -321,6 +321,7 @@ class AudioPipeline:
         z, z_rows = equalize_frames_cat(
             y0, inj_p, fs_out, cfg.eq, unroll=plan.P,
             fast=cfg.kernels.eq_fast, rows=(r0, r1),
+            interpret=cfg.kernels.interpret,
         )
         y_rows = resample_rows(x.astype(jnp.float32), plan, r0, r1)
         mx, my, mz = spectra_mag_stacked([

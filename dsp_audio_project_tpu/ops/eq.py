@@ -316,6 +316,47 @@ def _grouped_parts_packed(
     return y0_g, s_in, end_states
 
 
+def _finish_tables(ops: BlockOperators, G: int, dpad: int):
+    """Packed-transposed weight tables for the Pallas EQ finish.
+
+    The finish kernel (kernels/eq_finish.py) wants s_true in the packing
+    st[b, ksup, dd*128 + g]: group shift (s_in[g] = s_tail[g-1]) and the
+    e-extraction fold into the tables, so XLA emits the packed layout
+    from plain lane-aligned matmuls on the kernel's packed inj — no
+    relayout anywhere.  Returns (toe_in_pt (G*dpad, S*dpad*128),
+    gpows_pt (d, S*dpad*128), toe_e (G*dpad, d)) with S = G // 128.
+    """
+    d = ops.A.shape[0]
+    key = (id(ops), G, dpad, "finish_pt")
+    hit = _carry_weight_cache.get(key)
+    if hit is not None:
+        return hit
+    S = G // 128
+    toe = ops.group_toeplitz.astype(np.float32)       # (G*d, G*d)
+    ncol = S * dpad * 128
+    toe_in = np.zeros((G * dpad, ncol), np.float32)
+    gpows = np.zeros((d, ncol), np.float32)
+    gP = ops.group_pows.astype(np.float32)            # (G, d, d)
+    for g in range(G):
+        sup, gs = divmod(g, 128)
+        for dd in range(d):
+            col = sup * dpad * 128 + dd * 128 + gs
+            if g >= 1:
+                for v in range(g):                    # toe is lower-tri
+                    toe_in[v * dpad : v * dpad + d, col] = (
+                        toe[v * d : (v + 1) * d, (g - 1) * d + dd]
+                    )
+            gpows[:, col] = gP[g, dd, :]
+    toe_e = np.zeros((G * dpad, d), np.float32)
+    for v in range(G):
+        toe_e[v * dpad : v * dpad + d, :] = (
+            toe[v * d : (v + 1) * d, (G - 1) * d :]
+        )
+    hit = (toe_in, gpows, toe_e)
+    _carry_weight_cache[key] = hit
+    return hit
+
+
 def equalize_frames_cat(
     y0_frames: jnp.ndarray,
     inj_packed: jnp.ndarray,
@@ -325,6 +366,8 @@ def equalize_frames_cat(
     groups_per_block: int = 128,
     fast: bool = False,
     rows: Tuple[int, int] | None = None,
+    finish: str = "auto",
+    interpret: bool = False,
 ):
     """EQ finish on the cat FIR kernel's fused emission.
 
@@ -366,6 +409,43 @@ def equalize_frames_cat(
         raise ValueError("active band count changed under the config")
     f32 = jnp.float32
     lead = y0_frames.shape[:-2]
+    if finish == "auto":
+        finish = (
+            "pallas"
+            if G % 128 == 0 and (interpret
+                                 or jax.default_backend() == "tpu")
+            else "xla"
+        )
+    if finish == "pallas":
+        # Packed-transposed finish: the group shift, sigma correction and
+        # end-state extraction ride packed weight tables, and the Pallas
+        # kernel (kernels/eq_finish.py) does y0 + readout + clip in one
+        # memory-bound pass.  Measured vs the XLA finish fusion in
+        # STATUS round 5.
+        from ..kernels.eq_finish import eq_finish_pallas
+
+        toe_in_pt, gpows_pt, toe_e = _finish_tables(ops, G, DPAD)
+        toe_prec = (jax.lax.Precision.HIGH if fast
+                    else jax.lax.Precision.HIGHEST)
+        s_in_pt = jnp.einsum(
+            "...x,xy->...y", inj_packed, jnp.asarray(toe_in_pt),
+            precision=toe_prec, preferred_element_type=f32,
+        )
+        e = einsum_f32("...x,xy->...y", inj_packed, jnp.asarray(toe_e))
+        sigma = _carry_states(e, ops)
+        st_pt = s_in_pt + einsum_f32(
+            "...kf,fx->...kx", sigma, jnp.asarray(gpows_pt)
+        )
+        st_pt = st_pt.reshape(lead + (F // 128, 128 * DPAD))
+        z = eq_finish_pallas(
+            y0_frames, st_pt, ops.group_out, interpret=interpret
+        )
+        if rows is None:
+            return z
+        r0, r1 = rows
+        # z is a kernel-materialized array: the row slice is a cheap
+        # dynamic-slice, not a fusion-output relayout.
+        return z, z[..., r0:r1, :]
     y0 = y0_frames.reshape(lead + (K, G, U))
     y0, s_in, end_states = _grouped_parts_packed(
         y0, inj_packed, ops, fast=fast
