@@ -324,7 +324,10 @@ def _finish_tables(ops: BlockOperators, G: int, dpad: int):
     e-extraction fold into the tables, so XLA emits the packed layout
     from plain lane-aligned matmuls on the kernel's packed inj — no
     relayout anywhere.  Returns (toe_in_pt (G*dpad, S*dpad*128),
-    gpows_pt (d, S*dpad*128), toe_e (G*dpad, d)) with S = G // 128.
+    gpows_pt (d, S*d*128), toe_e (G*dpad, d)) with S = G // 128 —
+    the packing is d-exact (no DPAD pad: the finish kernel's contraction
+    carries d directly, and the slimmer table keeps the toe matmul at
+    its unpadded flop count).
     """
     d = ops.A.shape[0]
     key = (id(ops), G, dpad, "finish_pt")
@@ -333,14 +336,14 @@ def _finish_tables(ops: BlockOperators, G: int, dpad: int):
         return hit
     S = G // 128
     toe = ops.group_toeplitz.astype(np.float32)       # (G*d, G*d)
-    ncol = S * dpad * 128
+    ncol = S * d * 128                                # d-exact packing
     toe_in = np.zeros((G * dpad, ncol), np.float32)
     gpows = np.zeros((d, ncol), np.float32)
     gP = ops.group_pows.astype(np.float32)            # (G, d, d)
     for g in range(G):
         sup, gs = divmod(g, 128)
         for dd in range(d):
-            col = sup * dpad * 128 + dd * 128 + gs
+            col = sup * d * 128 + dd * 128 + gs
             if g >= 1:
                 for v in range(g):                    # toe is lower-tri
                     toe_in[v * dpad : v * dpad + d, col] = (
@@ -410,18 +413,18 @@ def equalize_frames_cat(
     f32 = jnp.float32
     lead = y0_frames.shape[:-2]
     if finish == "auto":
-        finish = (
-            "pallas"
-            if G % 128 == 0 and (interpret
-                                 or jax.default_backend() == "tpu")
-            else "xla"
-        )
+        # Measured (round 5, 60 s serving config): the Pallas finish
+        # kernel holds 57.9 us vs the XLA finish fusion's ~42 — its own
+        # block I/O pays the 160->256 VMEM lane pad on BOTH y0 and z at
+        # DMA granularity (~50% bandwidth), where XLA's fusion reads the
+        # padded layout with masked vectors.  XLA stays the default; the
+        # kernel remains selectable for study (numbers in STATUS r5).
+        finish = "xla"
     if finish == "pallas":
         # Packed-transposed finish: the group shift, sigma correction and
         # end-state extraction ride packed weight tables, and the Pallas
         # kernel (kernels/eq_finish.py) does y0 + readout + clip in one
-        # memory-bound pass.  Measured vs the XLA finish fusion in
-        # STATUS round 5.
+        # memory-bound pass.
         from ..kernels.eq_finish import eq_finish_pallas
 
         toe_in_pt, gpows_pt, toe_e = _finish_tables(ops, G, DPAD)
@@ -436,7 +439,7 @@ def equalize_frames_cat(
         st_pt = s_in_pt + einsum_f32(
             "...kf,fx->...kx", sigma, jnp.asarray(gpows_pt)
         )
-        st_pt = st_pt.reshape(lead + (F // 128, 128 * DPAD))
+        st_pt = st_pt.reshape(lead + (F // 128, 128 * d))
         z = eq_finish_pallas(
             y0_frames, st_pt, ops.group_out, interpret=interpret
         )

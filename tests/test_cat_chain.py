@@ -336,3 +336,37 @@ def test_round5_experiment_kernels_parity():
     for fn in (polyphase_fir_rect_splitbank, polyphase_fir_rect_rowdma):
         jax.jit(lambda v, fn=fn: fn(v, plan, n_out, pad_frames=True)
                 ).trace(x).lower(lowering_platforms=("tpu",))
+
+
+def test_pallas_finish_matches_xla_finish():
+    """kernels/eq_finish stays correct (selectable; XLA is the measured
+    default — STATUS round-5 dead-end ledger)."""
+    from dsp_audio_project_tpu.ops.eq import equalize_frames_cat
+
+    pipe = make_pipe(True)
+    n = FS
+    x = make_x(n, seed=51)
+    (y0, injp), plan, n_out, fs_out = pipe._cat_pieces(jnp.asarray(x), FS)
+    cfg = pipe.config.eq
+    z_x = np.asarray(equalize_frames_cat(
+        y0, injp, fs_out, cfg, unroll=plan.P, fast=True, finish="xla"))
+    z_p, zr = equalize_frames_cat(
+        y0, injp, fs_out, cfg, unroll=plan.P, fast=True, finish="pallas",
+        interpret=True, rows=(100, 113))
+    z_p = np.asarray(z_p)
+    assert snr_db(z_x.ravel(), z_p.ravel()) > 140
+    assert np.array_equal(np.asarray(zr), z_p[..., 100:113, :])
+    # lowering gate for the kernel (reshape + batched transpose)
+    from dsp_audio_project_tpu.kernels.eq_finish import eq_finish_pallas
+    from dsp_audio_project_tpu.ops.eq import make_block_operators
+
+    bands = cfg.active_bands(fs_out)
+    ops = make_block_operators(bands, fs_out, cfg.q, 128 * plan.P, plan.P)
+    d = ops.A.shape[0]
+    F = y0.shape[-2]
+    jax.jit(
+        lambda a, b: eq_finish_pallas(a, b, ops.group_out)
+    ).trace(
+        jnp.zeros((2, F, plan.P), jnp.float32),
+        jnp.zeros((2, F // 128, 128 * d), jnp.float32),
+    ).lower(lowering_platforms=("tpu",))
