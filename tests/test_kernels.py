@@ -419,7 +419,8 @@ def test_rfft_tall_kernel_fast_mode(rng):
 
 
 def test_rfft_kernel_plan_routing():
-    """Size -> kernel routing: classic to 8192, tall from 16384 to 131072."""
+    """Size -> kernel routing: classic to 8192, tall to 524288, two-level
+    at 1048576 (round 5)."""
     from dsp_audio_project_tpu.ops.fft import _rfft_kernel_plan
 
     assert _rfft_kernel_plan(2048) == ("four_step", 16)
@@ -431,7 +432,8 @@ def test_rfft_kernel_plan_routing():
     assert _rfft_kernel_plan(131072) == ("tall", (1, 256))
     assert _rfft_kernel_plan(262144) == ("tall", (1, 512))
     assert _rfft_kernel_plan(524288) == ("tall", (1, 512))  # n1=1024, bf16 D1
-    assert _rfft_kernel_plan(1048576) is None
+    assert _rfft_kernel_plan(1048576) == ("two_level", None)
+    assert _rfft_kernel_plan(2097152) is None  # compile-bound on v5e
     assert _rfft_kernel_plan(3000) is None
 
 
