@@ -240,6 +240,36 @@ def main() -> None:
             dt_dyn = total_ms / 1e3 / B_prof
             log(f"dynamic-gains chain (prebuilt ops): {dt_dyn*1e3:.3f} ms per "
                 f"signal -> {n/dt_dyn/1e6:.1f} M samples/s/chip")
+
+        # Dynamic-gains CAT serving (round 5): banks rebuilt on device per
+        # gain change, per-batch at the static cat rate.
+        if use_cat:
+            try:
+                banks_dyn = pipe.dynamic_cat_banks(dyn_ops)
+                jax.block_until_ready(banks_dyn)
+                fwd_dc = pipe.jit_forward_cat_dynamic_ops()
+                f_dc = jax.jit(
+                    lambda v: jnp.sum(fwd_dc(v, dyn_ops, banks_dyn, FS))
+                )
+                float(f_dc(*batch_warm))
+                total_ms, _ = profile_device_ops(f_dc, *batch_prof)
+                if total_ms > 0:
+                    dt_dc = total_ms / 1e3 / B_prof
+                    log(f"dynamic-gains CAT chain (device-rebuilt banks): "
+                        f"{dt_dc*1e3:.3f} ms per signal -> "
+                        f"{n/dt_dc/1e6:.1f} M samples/s/chip")
+                bank_ms, _ = profile_device_ops(
+                    lambda o: jax.tree.map(
+                        jnp.sum, pipe.dynamic_cat_banks(o)), dyn_ops,
+                )
+                log(f"dynamic cat bank rebuild (per gain change): "
+                    f"{bank_ms:.3f} ms device")
+                zdc = fwd_dc(jnp.asarray(x), dyn_ops, banks_dyn, FS)
+                qdc = snr_db(want, np.asarray(zdc).reshape(-1)[:n_out])
+                log(f"dynamic-gains CAT output snr vs oracle: {qdc:.1f} dB "
+                    f"(gate 60)")
+            except Exception as e:  # pragma: no cover
+                log(f"dynamic cat bench unavailable ({e})")
         # Builder cost (runs once per gain change, amortized across batches).
         # Serving uses the host-float64 builder (gains are concrete values);
         # the traced in-graph builder remains for jit-input gains.

@@ -619,12 +619,27 @@ def _class_rect_cat_kernel(r0_ref, rrel_ref, x_hbm, bank_ref, out_ref,
         inj_ref[0, :, j * DPAD : (j + 1) * DPAD] = acc[:, P : P + DPAD]
 
 
+def cat_bank_row_index(plan: PolyphasePlan, w0: int = 0) -> np.ndarray:
+    """(128, nc*128) int32: row r of class rho's bank = G2_ext[idx[rho, r]]
+    (index W selects the zero guard row) — the device-side bank builder's
+    gather table (ops/eq_dynamic.build_cat_banks_dyn rebuilds the banks
+    from TRACED dynamic-EQ weights with one row-gather per gain change).
+    """
+    nc, _, _, _, o = _class_geometry(plan.s, plan.W, w0)
+    q = np.arange(nc * 128)[None, :]
+    rel = q - o[:, None]
+    return np.where(
+        (rel >= 0) & (rel < plan.W), rel, plan.W
+    ).astype(np.int32)
+
+
 def polyphase_fir_class_rect_cat(
     x: jnp.ndarray,
     plan: PolyphasePlan,
     n_out: int,
-    w_cat: np.ndarray,
+    w_cat: np.ndarray | None,
     *,
+    banks: jnp.ndarray | None = None,
     precision=jax.lax.Precision.HIGHEST,
     interpret: bool = False,
     num_frames: int | None = None,
@@ -644,8 +659,17 @@ def polyphase_fir_class_rect_cat(
     per bank column, quantized once (measures ~2 dB ABOVE the two-stage
     path's SNR).  Workload: /root/reference/modules/dsp_core.py:166 +
     216-254 first matmul.
+
+    ``banks``: optional TRACED pre-rotated bank stack ((128, 2, nc*128,
+    P+DPAD) bf16 pair in fast mode, (128, nc*128, P+DPAD) f32 otherwise),
+    replacing the host-composed w_cat banks — the dynamic-gains serving
+    path rebuilds them on device per gain change
+    (ops/eq_dynamic.build_cat_banks_dyn).
     """
-    w_cat = np.ascontiguousarray(w_cat, dtype=np.float64)
+    if w_cat is not None:
+        w_cat = np.ascontiguousarray(w_cat, dtype=np.float64)
+    elif banks is None:
+        raise ValueError("pass w_cat (host fold) or banks (traced)")
     s, P, W = plan.s, plan.P, plan.W
     if s < 8:
         raise ValueError("class kernels target the wide-stride regime s>=8")
@@ -653,7 +677,7 @@ def polyphase_fir_class_rect_cat(
         raise ValueError(f"frame width {W} exceeds one super-group {128*s}")
     if x.ndim == 1:
         y0, inj = polyphase_fir_class_rect_cat(
-            x[None], plan, n_out, w_cat, precision=precision,
+            x[None], plan, n_out, w_cat, banks=banks, precision=precision,
             interpret=interpret, num_frames=num_frames, pad_left=pad_left,
         )
         return y0[0], inj[0]
@@ -686,14 +710,30 @@ def polyphase_fir_class_rect_cat(
     CG = CLASS_GROUP
     n_groups = NUM_CLASSES // CG
     if precision == "fast":
-        banks = jnp.asarray(_class_banks_cat(plan, w0, w_cat, split=True))
+        if banks is None:
+            banks = jnp.asarray(
+                _class_banks_cat(plan, w0, w_cat, split=True)
+            )
+        elif banks.shape != (NUM_CLASSES, 2, nc * 128, Vp):
+            raise ValueError(
+                f"traced banks shape {banks.shape} != "
+                f"{(NUM_CLASSES, 2, nc * 128, Vp)}"
+            )
         banks = banks.reshape(n_groups, CG, 2, nc * 128, Vp)
         bank_spec = pl.BlockSpec(
             (1, CG, 2, nc * 128, Vp), lambda t, b, r_, rr_: (t, 0, 0, 0, 0),
             memory_space=pltpu.VMEM,
         )
     else:
-        banks = jnp.asarray(_class_banks_cat(plan, w0, w_cat, split=False))
+        if banks is None:
+            banks = jnp.asarray(
+                _class_banks_cat(plan, w0, w_cat, split=False)
+            )
+        elif banks.shape != (NUM_CLASSES, nc * 128, Vp):
+            raise ValueError(
+                f"traced banks shape {banks.shape} != "
+                f"{(NUM_CLASSES, nc * 128, Vp)}"
+            )
         banks = banks.reshape(n_groups, CG, nc * 128, Vp)
         bank_spec = pl.BlockSpec(
             (1, CG, nc * 128, Vp), lambda t, b, r_, rr_: (t, 0, 0, 0),

@@ -808,3 +808,159 @@ def equalize_dynamic_frames_ops(
     static path (no exact small-gain skip; output always clipped).
     """
     return _apply_dynamic_frames(frames, ops, groups_per_block, fast)
+
+
+# ---- dynamic-gains cat serving (round 5) ------------------------------------
+#
+# The static chain's round-5 headline folds the EQ's weight-concat matmul
+# into the FIR operator banks (kernels/fir_class cat section).  For traced
+# gains the fold can't happen at design time — but the BANKS can rebuild
+# on device per gain change:  G2 = G @ [fir_t | group_in] is one small
+# traced matmul, and the per-class rotation is one row-gather against a
+# static index table (kernels/fir_class.cat_bank_row_index).  Cost per
+# change: ~34 MB of bank materialization on device (no upload — the
+# DynOperators tables are already resident); per batch the chain then
+# runs at the static cat rate.
+
+
+def build_cat_banks_dyn(plan, ops: DynOperators, fast: bool = True):
+    """Traced pre-rotated cat banks from dynamic operators.
+
+    Returns (128, 2, nc*128, P+DPAD) bf16 hi/lo (fast) or
+    (128, nc*128, P+DPAD) f32 — the ``banks`` argument of
+    kernels/fir_class.polyphase_fir_class_rect_cat.
+    """
+    from ..kernels.fir_class import DPAD, cat_bank_row_index
+
+    f32 = jnp.float32
+    P = plan.P
+    d = ops.group_in.shape[-1]
+    w_cat = jnp.concatenate([ops.fir_t, ops.group_in], axis=1)  # (P, P+d)
+    G2 = jnp.einsum(
+        "wp,pv->wv", jnp.asarray(plan.G, f32), w_cat,
+        precision=jax.lax.Precision.HIGHEST, preferred_element_type=f32,
+    )                                                           # (W, P+d)
+    # Zero guard row (index W) + DPAD column pad, then one row-gather per
+    # class against the static rotation table.
+    G2e = jnp.pad(G2, ((0, 1), (0, DPAD - d)))
+    idx = jnp.asarray(cat_bank_row_index(plan))                 # (128, nc*128)
+    banks = jnp.take(G2e, idx, axis=0)                          # (128, q, Vp)
+    if not fast:
+        return banks
+    # hi/lo split via mantissa masking: the naive round-trip form
+    # (banks - bh.astype(f32)) gets algebraically simplified by XLA on TPU
+    # into an effectively-zero low half (measured 56.6 dB — plain-bf16
+    # quality).  Truncating the low 16 bits gives an hi part exactly
+    # representable in bf16 that no simplifier can fold, and the residual
+    # subtraction stays a real f32 op.
+    u = jax.lax.bitcast_convert_type(banks, jnp.uint32)
+    hi_f32 = jax.lax.bitcast_convert_type(
+        u & jnp.uint32(0xFFFF0000), jnp.float32
+    )
+    bh = hi_f32.astype(jnp.bfloat16)
+    bl = (banks - hi_f32).astype(jnp.bfloat16)
+    return jnp.stack([bh, bl], axis=1)
+
+
+def _dyn_toe_padded(ops: DynOperators, dpad: int) -> jnp.ndarray:
+    """(G*dpad, G*d) traced: ops.toe rows spread to the packed-inj stride
+    (ops/eq._toe_padded's traced twin; one row-gather per gain change)."""
+    import numpy as np
+
+    d = ops.group_in.shape[-1]
+    Gd = ops.toe.shape[0]
+    G = Gd // d
+    toe_e = jnp.concatenate(
+        [ops.toe, jnp.zeros((1, Gd), jnp.float32)], axis=0
+    )
+    v = np.arange(G * dpad) // dpad
+    dd = np.arange(G * dpad) % dpad
+    idx = np.where(dd < d, v * d + dd, Gd).astype(np.int32)
+    return jnp.take(toe_e, jnp.asarray(idx), axis=0)
+
+
+def equalize_dynamic_cat_ops(
+    y0_frames: jnp.ndarray,
+    inj_packed: jnp.ndarray,
+    ops: DynOperators,
+    fast: bool = False,
+) -> jnp.ndarray:
+    """EQ finish on the cat kernel's emission with TRACED operators.
+
+    The dynamic twin of ops/eq.equalize_frames_cat: y0 and the packed inj
+    come straight off polyphase_fir_class_rect_cat (banks built by
+    build_cat_banks_dyn from the SAME DynOperators), so only the
+    group-Toeplitz solve + carry + readout run here.  Semantics match
+    equalize_dynamic_frames_ops on the raw frames (gated in
+    tests/test_cat_chain.py).
+    """
+    from ..kernels.fir_class import DPAD
+
+    f32 = jnp.float32
+    d = ops.group_in.shape[-1]
+    U = ops.group_in.shape[0]
+    G = 128
+    F = y0_frames.shape[-2]
+    if F % G:
+        raise ValueError(f"frame count {F} not a multiple of {G}")
+    K = F // G
+    if inj_packed.shape[-2:] != (K, G * DPAD):
+        raise ValueError(
+            f"packed inj shape {inj_packed.shape[-2:]} != {(K, G * DPAD)}"
+        )
+    lead = y0_frames.shape[:-2]
+    y0 = y0_frames.reshape(lead + (K, G, U))
+    toe_prec = jax.lax.Precision.HIGH if fast else _HI
+    s_tail = jnp.einsum(
+        "...x,xy->...y", inj_packed, _dyn_toe_padded(ops, DPAD),
+        precision=toe_prec, preferred_element_type=f32,
+    ).reshape(lead + (K, G, d))
+    e_states = s_tail[..., G - 1, :]
+    s_in = jnp.concatenate(
+        [jnp.zeros(lead + (K, 1, d), f32), s_tail[..., : G - 1, :]],
+        axis=-2,
+    )
+    # Cross-block carry (same forms as _dynamic_grouped).
+    k_axis = e_states.ndim - 2
+    blead = e_states.shape[:-2]
+    if K == 1:
+        sigma = jnp.zeros_like(e_states)
+    elif ops.carry_w is not None:
+        vecs = jnp.concatenate(
+            [
+                jnp.zeros(blead + (1, d), f32),
+                jax.lax.slice_in_dim(e_states, 0, K - 1, axis=k_axis),
+            ],
+            axis=k_axis,
+        )
+        sigma = einsum_f32(
+            "...x,xy->...y", vecs.reshape(blead + (K * d,)), ops.carry_w
+        ).reshape(blead + (K, d))
+    else:
+        head = jnp.broadcast_to(
+            jnp.eye(d, dtype=f32), blead + (1, d, d)
+        )
+        tail = jnp.broadcast_to(ops.A_blk, blead + (K - 1, d, d))
+        mats = jnp.concatenate([head, tail], axis=k_axis)
+        vecs = jnp.concatenate(
+            [
+                jnp.zeros(blead + (1, d), f32),
+                jax.lax.slice_in_dim(e_states, 0, K - 1, axis=k_axis),
+            ],
+            axis=k_axis,
+        )
+
+        def combine(left, right):
+            m1, v1 = left
+            m2, v2 = right
+            return (
+                einsum_f32("...ij,...jk->...ik", m2, m1),
+                einsum_f32("...ij,...j->...i", m2, v1) + v2,
+            )
+
+        _, sigma = jax.lax.associative_scan(
+            combine, (mats, vecs), axis=k_axis
+        )
+    s_true = s_in + einsum_f32("gef,...kf->...kge", ops.pows_g, sigma)
+    z = y0 + einsum_f32("...gd,du->...gu", s_true, ops.group_out)
+    return jnp.clip(z.reshape(lead + (F, U)), -1.0, 1.0)

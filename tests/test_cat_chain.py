@@ -370,3 +370,58 @@ def test_pallas_finish_matches_xla_finish():
         jnp.zeros((2, F, plan.P), jnp.float32),
         jnp.zeros((2, F // 128, 128 * d), jnp.float32),
     ).lower(lowering_platforms=("tpu",))
+
+
+def test_dynamic_cat_matches_dynamic_frames():
+    """Dynamic-gains cat serving: device-rebuilt banks + packed finish ==
+    the dynamic frames path == oracle (round 5)."""
+    pipe = make_pipe(True)
+    cfg = pipe.config
+    n = FS
+    x = make_x(n, seed=61)
+    n_out = cfg.src.output_length(n)
+    names = [nm for nm, _ in cfg.eq.band_centers]
+    g = np.asarray([float(GAINS.get(nm, 0.0)) for nm in names])
+    dops = pipe.dynamic_eq_operators(g, FS, n, builder="host")
+    banks = pipe.dynamic_cat_banks(dops)
+    zc = pipe.jit_forward_cat_dynamic_ops()(jnp.asarray(x), dops, banks, FS)
+    zf, _ = pipe.jit_forward_frames_dynamic_ops()(jnp.asarray(x), dops, FS)
+    a = np.asarray(zf).reshape(-1)[:n_out]
+    b = np.asarray(zc).reshape(-1)[:n_out]
+    assert snr_db(a, b) > 95
+    want, _ = pipeline_oracle(x, FS, cfg.src, cfg.eq, engine="fast")
+    assert snr_db(want, b) > 90
+    # a DIFFERENT gain vector through the same compiled functions
+    g2 = np.asarray([float(((i * 5) % 25) - 12) for i in range(len(names))])
+    dops2 = pipe.dynamic_eq_operators(g2, FS, n, builder="host")
+    banks2 = pipe.dynamic_cat_banks(dops2)
+    zc2 = pipe.jit_forward_cat_dynamic_ops()(
+        jnp.asarray(x), dops2, banks2, FS)
+    zf2, _ = pipe.jit_forward_frames_dynamic_ops()(jnp.asarray(x), dops2, FS)
+    assert snr_db(np.asarray(zf2).reshape(-1)[:n_out],
+                  np.asarray(zc2).reshape(-1)[:n_out]) > 95
+
+
+def test_dynamic_cat_lowers_for_tpu():
+    pipe = AudioPipeline(PipelineConfig(
+        src=SRCConfig(L=160, M=147), eq=EQConfig.from_gains(GAINS),
+        kernels=KernelConfig(eq_fast=True, src_fast=True),
+    ))
+    n = FS
+    names = [nm for nm, _ in pipe.config.eq.band_centers]
+    g = np.zeros(len(names))
+    dops = pipe.dynamic_eq_operators(g, FS, n, builder="host")
+    banks_shape = jax.eval_shape(
+        lambda o: __import__(
+            "dsp_audio_project_tpu.ops.eq_dynamic", fromlist=["x"]
+        ).build_cat_banks_dyn(
+            __import__(
+                "dsp_audio_project_tpu.ops.src", fromlist=["x"]
+            ).make_plan(160, 147), o, fast=True),
+        dops,
+    )
+    fwd = pipe.jit_forward_cat_dynamic_ops()
+    fwd.trace(
+        jnp.zeros((2, n), jnp.float32), dops,
+        jnp.zeros(banks_shape.shape, banks_shape.dtype), FS,
+    ).lower(lowering_platforms=("tpu",))
