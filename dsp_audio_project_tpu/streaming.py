@@ -382,7 +382,7 @@ class ShardedStreamProcessor:
         from .kernels.fir_class import rect_supported
 
         cat_ok = (
-            self._fused and not self._dynamic and self._eq_active
+            self._fused and self._eq_active
             and p is not None and rect_supported(p)
             and bool(config.kernels.src_fast) == bool(config.kernels.eq_fast)
         )
@@ -412,7 +412,11 @@ class ShardedStreamProcessor:
         self._F_sup = self._nb * self._fl
         # Sub-1024-frame steps would pay the kernel's padded grid (it
         # computes ceil(fl/1024)*1024 frames); keep them on the unfused EQ.
-        self._cat = cat_ok and self._fl % 1024 == 0
+        # Dynamic mode runs the same fused kernel with device-rebuilt
+        # banks (ops/eq_dynamic.build_cat_banks_dyn) as a traced input.
+        self._cat = cat_ok and not self._dynamic and self._fl % 1024 == 0
+        self._cat_dyn = cat_ok and self._dynamic and self._fl % 1024 == 0
+        self._dbanks = None
 
         if self._dynamic:
             # Dynamic-gains serving mode: the EQ operators are a traced
@@ -484,11 +488,25 @@ class ShardedStreamProcessor:
     def _build_dyn_operators(self, gains_db):
         from .ops.eq_dynamic import build_dynamic_stream_operators_host
 
-        return build_dynamic_stream_operators_host(
+        dops = build_dynamic_stream_operators_host(
             gains_db, self.fs_out, self.config.eq,
             unroll=self._U, groups_per_block=(self._fpb * self._P) // self._U,
             num_blocks=self._K_loc, num_shards=self._nb,
         )
+        if getattr(self, "_cat_dyn", False):
+            import jax
+
+            from .ops.eq_dynamic import build_cat_banks_dyn
+
+            if getattr(self, "_bank_jit", None) is None:
+                kc = self.config.kernels
+                self._bank_jit = jax.jit(
+                    lambda o: build_cat_banks_dyn(
+                        self._plan, o, fast=bool(kc.src_fast)
+                    )
+                )
+            self._dbanks = self._bank_jit(dops.ops)
+        return dops
 
     def set_gains(self, gains_db) -> None:
         """Swap the EQ gains at a super-step boundary — NO recompile.
@@ -762,38 +780,70 @@ class ShardedStreamProcessor:
             z = eq_ops._grouped_finish(y0, s_in, sigma, ops)
             return finalize(z, y), sigma_out
 
-        def local_fn_dyn(x_loc, tail, sigma_in, dops):
+        def local_fn_dyn(x_loc, tail, sigma_in, dops, banks=None):
             """Dynamic-gains step: EQ operators are TRACED inputs, so a
-            mid-stream gain swap reuses this compile (see set_gains)."""
+            mid-stream gain swap reuses this compile (see set_gains).
+            With ``banks`` (dynamic-cat mode) the fused kernel emits
+            [y0 | packed inj] directly — same economy as the static cat
+            super-steps."""
             od = dops.ops
-            y = local_src(x_loc, tail)
-            if plan is not None and not fused:
-                y = y.reshape(x_loc.shape[:-1] + (fl * P_cls,))
-            x_g = regroup(y)
-            d_dyn = od.group_in.shape[-1]
-            G = x_g.shape[-2]
-            lead = x_g.shape[:-2]
             f32 = jnp.float32
-            # Grouped state pass (ops/eq._grouped_states with traced tables;
-            # fast mode shares the weight-concat matmul of _dynamic_grouped).
-            if fast:
-                w_cat = jnp.concatenate([od.fir_t, od.group_in], axis=1)
-                cat = jnp.einsum(
-                    "...gu,uv->...gv", x_g, w_cat,
-                    precision=jax.lax.Precision.HIGH,
-                    preferred_element_type=f32,
-                )
-                y0 = cat[..., : x_g.shape[-1]]
-                inj = cat[..., x_g.shape[-1]:]
-            else:
-                y0 = None
-                inj = einsum_f32("...gu,ud->...gd", x_g, od.group_in)
+            d_dyn = od.group_in.shape[-1]
             toe_prec = jax.lax.Precision.HIGH if fast else \
                 jax.lax.Precision.HIGHEST
-            s_tail = jnp.einsum(
-                "...x,xy->...y", inj.reshape(lead + (G * d_dyn,)), od.toe,
-                precision=toe_prec, preferred_element_type=f32,
-            ).reshape(lead + (G, d_dyn))
+            if banks is not None:
+                from .kernels.fir_class import (
+                    DPAD, polyphase_fir_class_rect_cat,
+                )
+                from .ops.eq_dynamic import _dyn_toe_padded
+
+                x_ext = extend_halo(x_loc, tail)
+                y0p, ip = polyphase_fir_class_rect_cat(
+                    x_ext, plan, fl * P_cls, None, banks=banks,
+                    num_frames=fl, pad_left=0,
+                    precision="fast" if kc.src_fast
+                    else jax.lax.Precision.HIGHEST,
+                    interpret=kc.interpret,
+                )
+                y = y0p[..., :fl, :]
+                ipg = ip[..., : fl // 128, :].reshape(
+                    y.shape[:-2] + (K_loc, fpb * DPAD)
+                )
+                x_g = y.reshape(y.shape[:-2] + (K_loc, fpb, P_cls))
+                y0 = x_g
+                G = fpb
+                lead = x_g.shape[:-2]
+                s_tail = jnp.einsum(
+                    "...x,xy->...y", ipg, _dyn_toe_padded(od, DPAD),
+                    precision=toe_prec, preferred_element_type=f32,
+                ).reshape(lead + (G, d_dyn))
+            else:
+                y = local_src(x_loc, tail)
+                if plan is not None and not fused:
+                    y = y.reshape(x_loc.shape[:-1] + (fl * P_cls,))
+                x_g = regroup(y)
+                G = x_g.shape[-2]
+                lead = x_g.shape[:-2]
+                # Grouped state pass (ops/eq._grouped_states with traced
+                # tables; fast mode shares the weight-concat matmul of
+                # _dynamic_grouped).
+                if fast:
+                    w_cat = jnp.concatenate([od.fir_t, od.group_in], axis=1)
+                    cat = jnp.einsum(
+                        "...gu,uv->...gv", x_g, w_cat,
+                        precision=jax.lax.Precision.HIGH,
+                        preferred_element_type=f32,
+                    )
+                    y0 = cat[..., : x_g.shape[-1]]
+                    inj = cat[..., x_g.shape[-1]:]
+                else:
+                    y0 = None
+                    inj = einsum_f32("...gu,ud->...gd", x_g, od.group_in)
+                s_tail = jnp.einsum(
+                    "...x,xy->...y", inj.reshape(lead + (G * d_dyn,)),
+                    od.toe,
+                    precision=toe_prec, preferred_element_type=f32,
+                ).reshape(lead + (G, d_dyn))
             e = s_tail[..., G - 1, :]
             s_in = jnp.concatenate(
                 [jnp.zeros(lead + (1, d_dyn), f32),
@@ -838,12 +888,21 @@ class ShardedStreamProcessor:
             if (fused and plan is not None) else spec_x
         )
         if dynamic:
-            fn = shard_map(
-                local_fn_dyn, mesh=self.mesh,
-                in_specs=(spec_x, spec_rep, spec_rep, P()),
-                out_specs=(spec_z, spec_rep),
-                check_vma=False,
-            )
+            if self._cat_dyn:
+                fn = shard_map(
+                    lambda x, t, sg, dp, bk: local_fn_dyn(x, t, sg, dp, bk),
+                    mesh=self.mesh,
+                    in_specs=(spec_x, spec_rep, spec_rep, P(), P()),
+                    out_specs=(spec_z, spec_rep),
+                    check_vma=False,
+                )
+            else:
+                fn = shard_map(
+                    local_fn_dyn, mesh=self.mesh,
+                    in_specs=(spec_x, spec_rep, spec_rep, P()),
+                    out_specs=(spec_z, spec_rep),
+                    check_vma=False,
+                )
         else:
             fn = shard_map(
                 local_fn, mesh=self.mesh,
@@ -1027,7 +1086,14 @@ class ShardedStreamProcessor:
                 sig[: self.channels] = self._sigma
             self._sigma_dev = jax.device_put(sig[:, : self._d], rep)
         if self._dynamic:
-            z, sigma_out = self._fn(x_d, tail_d, self._sigma_dev, self._dops)
+            if self._cat_dyn:
+                z, sigma_out = self._fn(
+                    x_d, tail_d, self._sigma_dev, self._dops, self._dbanks
+                )
+            else:
+                z, sigma_out = self._fn(
+                    x_d, tail_d, self._sigma_dev, self._dops
+                )
         else:
             z, sigma_out = self._fn(x_d, tail_d, self._sigma_dev)
         if self._d:

@@ -425,3 +425,47 @@ def test_dynamic_cat_lowers_for_tpu():
         jnp.zeros((2, n), jnp.float32), dops,
         jnp.zeros(banks_shape.shape, banks_shape.dtype), FS,
     ).lower(lowering_platforms=("tpu",))
+
+
+def test_streaming_dynamic_cat_with_midstream_gain_change():
+    """Dynamic-cat super-steps (traced device-rebuilt banks) == plain
+    dynamic super-steps, including a set_gains swap mid-stream."""
+    from dsp_audio_project_tpu.config import KernelConfig, MeshConfig
+    from dsp_audio_project_tpu.parallel.mesh import build_mesh
+    from dsp_audio_project_tpu.streaming import ShardedStreamProcessor
+
+    fs = FS
+    cfg = PipelineConfig(
+        src=SRCConfig(L=160, M=147), eq=EQConfig(),
+        kernels=KernelConfig(eq_fast=True, src_fast=True, interpret=True),
+    )
+    mesh = build_mesh(MeshConfig(channel_devices=1, block_devices=2))
+    C, FL = 2, 1024
+    n = 4 * fs
+    g0 = [6.0, -3.0, 0.0, 12.0, -15.0, 4.0]
+    g1 = [0.0, 5.0, -5.0, 0.0, 8.0, -8.0]
+    rng = np.random.default_rng(77)
+    xs = (0.3 * rng.standard_normal((C, n))).astype(np.float32)
+
+    def run(force_plain):
+        sp = ShardedStreamProcessor(cfg, fs, mesh, C, frames_per_shard=FL,
+                                    gains_db=g0)
+        if force_plain:
+            sp._cat_dyn = False
+            sp._fn = None
+        else:
+            assert sp._cat_dyn
+        in_step = 2 * FL * sp._s
+        outs, i = [], 0
+        while (i + 1) * in_step <= n:
+            outs.append(sp.process(xs[:, i * in_step:(i + 1) * in_step]))
+            i += 1
+        sp.set_gains(g1)
+        outs.append(sp.process(xs[:, i * in_step:]))
+        outs.append(sp.flush())
+        return np.concatenate(outs, axis=1)
+
+    z_cat = run(False)
+    z_ref = run(True)
+    assert z_cat.shape == z_ref.shape
+    assert snr_db(z_ref.ravel(), z_cat.ravel()) > 95
