@@ -367,10 +367,11 @@ def main() -> None:
 
         mesh1 = build_mesh(MeshConfig(channel_devices=1, block_devices=1))
         C_st = 8
-        # Super-step size from the round-4 sweep (scripts/stream_sweep.py):
-        # the class kernel's per-step fixed cost (~0.18 ms: operator-bank
-        # DMA + small-grid launch floor) amortizes with step size — FL=2048
-        # measured 45% of one-shot, 4096 73%, 8192 88.6%.
+        # Super-step size from the round-5 sweep (scripts/stream_sweep.py,
+        # cat super-steps): the kernel's per-launch fixed cost (operator-
+        # bank DMA ~34 MB) amortizes with step size — FL=2048 measured 53%
+        # of one-shot, 4096 83%, 8192 92.1%; 12288/16384 regress on the
+        # XLA staging refission (STATUS round 5).
         FL = 8192                       # frames per super-step
         sec_st = 120.0                  # longer signal: 7 steady-state steps
         n_st = int(sec_st * FS)
