@@ -245,7 +245,7 @@ def main() -> None:
         # gain change, per-batch at the static cat rate.
         if use_cat:
             try:
-                banks_dyn = pipe.dynamic_cat_banks(dyn_ops)
+                banks_dyn = pipe.dynamic_cat_tables(dyn_ops)
                 jax.block_until_ready(banks_dyn)
                 fwd_dc = pipe.jit_forward_cat_dynamic_ops()
                 f_dc = jax.jit(
@@ -260,7 +260,7 @@ def main() -> None:
                         f"{n/dt_dc/1e6:.1f} M samples/s/chip")
                 bank_ms, _ = profile_device_ops(
                     lambda o: jax.tree.map(
-                        jnp.sum, pipe.dynamic_cat_banks(o)), dyn_ops,
+                        jnp.sum, pipe.dynamic_cat_tables(o)), dyn_ops,
                 )
                 log(f"dynamic cat bank rebuild (per gain change): "
                     f"{bank_ms:.3f} ms device")

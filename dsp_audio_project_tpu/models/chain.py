@@ -541,33 +541,35 @@ class AudioPipeline:
             unroll=plan.P, groups_per_block=groups_per_block, num_blocks=K,
         )
 
-    def dynamic_cat_banks(self, dyn_ops):
-        """Traced cat FIR banks from prebuilt DynOperators (per gain
-        change; ~34 MB device materialization, zero upload — see
-        ops/eq_dynamic.build_cat_banks_dyn).  Pass the result to
-        jit_forward_cat_dynamic_ops() alongside the same dyn_ops."""
-        from ..ops.eq_dynamic import build_cat_banks_dyn
+    def dynamic_cat_tables(self, dyn_ops):
+        """Traced cat tables (FIR banks + padded Toeplitz) from prebuilt
+        DynOperators (per gain change; ~35 MB device materialization, zero
+        upload — see ops/eq_dynamic.build_cat_tables_dyn).  Pass the
+        result to jit_forward_cat_dynamic_ops() alongside the same
+        dyn_ops."""
+        from ..ops.eq_dynamic import build_cat_tables_dyn
         from ..ops.src import make_plan
 
         cfg = self.config
         plan = make_plan(cfg.src.L, cfg.src.M, cfg.src.taps_rule_factor)
-        if getattr(self, "_jitted_cat_banks", None) is None:
-            self._jitted_cat_banks = jax.jit(
-                lambda o: build_cat_banks_dyn(
+        if getattr(self, "_jitted_cat_tables", None) is None:
+            self._jitted_cat_tables = jax.jit(
+                lambda o: build_cat_tables_dyn(
                     plan, o, fast=bool(cfg.kernels.src_fast)
                 )
             )
-        return self._jitted_cat_banks(dyn_ops)
+        return self._jitted_cat_tables(dyn_ops)
 
     def jit_forward_cat_dynamic_ops(self):
-        """Jitted cat (x, dyn_ops, banks, fs) -> z_frames: dynamic gains at
-        the static cat rate.
+        """Jitted cat (x, dyn_ops, tables, fs) -> z_frames: dynamic gains
+        at the static cat rate.
 
         The round-5 dynamic serving path: per gain change, rebuild the
-        fused banks on device (dynamic_cat_banks) from the same
-        DynOperators the EQ finish consumes; per batch, the chain is
-        structurally identical to the static cat path (one kernel, packed
-        Toeplitz solve, finish fusion).  Requires cat_supported geometry.
+        fused banks + padded Toeplitz on device (dynamic_cat_tables) from
+        the same DynOperators the EQ finish consumes; per batch, the chain
+        is structurally identical to the static cat path (one kernel,
+        packed Toeplitz solve, finish fusion).  Requires cat_supported
+        geometry.
         """
         if getattr(self, "_jitted_cat_dynamic_ops", None) is not None:
             return self._jitted_cat_dynamic_ops
@@ -578,17 +580,19 @@ class AudioPipeline:
 
         cfg = self.config
 
-        def forward(x, dops, banks, fs):
+        def forward(x, dops, tables, fs):
             plan = make_plan(cfg.src.L, cfg.src.M, cfg.src.taps_rule_factor)
             n_out = cfg.src.output_length(x.shape[-1])
             y0, inj_p = polyphase_fir_class_rect_cat(
-                x.astype(jnp.float32), plan, n_out, None, banks=banks,
+                x.astype(jnp.float32), plan, n_out, None,
+                banks=tables.banks,
                 precision=("fast" if cfg.kernels.src_fast
                            else jax.lax.Precision.HIGHEST),
                 interpret=cfg.kernels.interpret,
             )
             return equalize_dynamic_cat_ops(
-                y0, inj_p, dops, fast=cfg.kernels.eq_fast
+                y0, inj_p, dops, fast=cfg.kernels.eq_fast,
+                toe_padded=tables.toe_pad,
             )
 
         self._jitted_cat_dynamic_ops = jax.jit(forward, static_argnums=(3,))

@@ -327,6 +327,60 @@ def _lower_triangle(pows: jnp.ndarray, n: int, d: int) -> jnp.ndarray:
     return jnp.transpose(t, (1, 0, 2)).reshape(nd, nd)
 
 
+def dyn_block_carry(
+    e_states: jnp.ndarray,
+    carry_w: Optional[jnp.ndarray],
+    A_blk: jnp.ndarray,
+) -> jnp.ndarray:
+    """Zero-init cross-block carry sigma_{k+1} = A_blk sigma_k + e_k.
+
+    The ONE implementation shared by the dynamic frames path, the dynamic
+    cat path and the streaming super-step (a divergence between them would
+    silently break the parity gates): dense-triangle matmul when the
+    builder materialized ``carry_w``, else the log-depth associative scan.
+    """
+    f32 = jnp.float32
+    d = e_states.shape[-1]
+    k_axis = e_states.ndim - 2
+    K = e_states.shape[k_axis]
+    blead = e_states.shape[:-2]
+    if K == 1:
+        return jnp.zeros_like(e_states)
+    if carry_w is not None:
+        vecs = jnp.concatenate(
+            [
+                jnp.zeros(blead + (1, d), f32),
+                jax.lax.slice_in_dim(e_states, 0, K - 1, axis=k_axis),
+            ],
+            axis=k_axis,
+        )
+        return einsum_f32(
+            "...x,xy->...y", vecs.reshape(blead + (K * d,)), carry_w
+        ).reshape(blead + (K, d))
+    head = jnp.broadcast_to(jnp.eye(d, dtype=f32), blead + (1, d, d))
+    tails = jnp.broadcast_to(A_blk, blead + (K - 1, d, d))
+    mats = jnp.concatenate([head, tails], axis=k_axis)
+    vecs = jnp.concatenate(
+        [
+            jnp.zeros(blead + (1, d), f32),
+            jax.lax.slice_in_dim(e_states, 0, K - 1, axis=k_axis),
+        ],
+        axis=k_axis,
+    )
+
+    def combine(lhs, rhs):
+        m1, v1 = lhs
+        m2, v2 = rhs
+        return (
+            matmul_f32(m2, m1),
+            jnp.matmul(m2, v1[..., None], precision=_HI,
+                       preferred_element_type=f32)[..., 0] + v2,
+        )
+
+    _, sigma = jax.lax.associative_scan(combine, (mats, vecs), axis=k_axis)
+    return sigma
+
+
 def _dynamic_grouped(
     x_g: jnp.ndarray, ops: DynOperators, fast: bool = False
 ) -> jnp.ndarray:
@@ -371,41 +425,7 @@ def _dynamic_grouped(
     )
 
     # Cross-block carry: sigma_{k+1} = A^block sigma_k + e_k, sigma_0 = 0.
-    k_axis = e_states.ndim - 2
-    blead = e_states.shape[:-2]
-    if K == 1:
-        sigma = jnp.zeros_like(e_states)
-    elif ops.carry_w is not None:
-        vecs = jnp.concatenate(
-            [
-                jnp.zeros(blead + (1, d), f32),
-                jax.lax.slice_in_dim(e_states, 0, K - 1, axis=k_axis),
-            ],
-            axis=k_axis,
-        )
-        sigma = einsum_f32(
-            "...x,xy->...y", vecs.reshape(blead + (K * d,)), ops.carry_w
-        ).reshape(blead + (K, d))
-    else:
-        head = jnp.broadcast_to(jnp.eye(d, dtype=f32), blead + (1, d, d))
-        tails = jnp.broadcast_to(ops.A_blk, blead + (K - 1, d, d))
-        mats = jnp.concatenate([head, tails], axis=k_axis)
-        zero0 = jnp.zeros(blead + (1, d), f32)
-        vecs = jnp.concatenate(
-            [zero0, jax.lax.slice_in_dim(e_states, 0, K - 1, axis=k_axis)],
-            axis=k_axis,
-        )
-
-        def combine(lhs, rhs):
-            m1, v1 = lhs
-            m2, v2 = rhs
-            return (
-                matmul_f32(m2, m1),
-                jnp.matmul(m2, v1[..., None], precision=_HI,
-                           preferred_element_type=f32)[..., 0] + v2,
-            )
-
-        _, sigma = jax.lax.associative_scan(combine, (mats, vecs), axis=k_axis)
+    sigma = dyn_block_carry(e_states, ops.carry_w, ops.A_blk)
 
     # Fused-state apply: the carry rides the group_out matmul via the
     # group-entry states; FIR and state readout are split matmuls whose
@@ -823,6 +843,26 @@ def equalize_dynamic_frames_ops(
 # runs at the static cat rate.
 
 
+class CatDynTables(NamedTuple):
+    """Per-gain-change device tables for the dynamic cat chain: the
+    pre-rotated FIR banks and the padded group-Toeplitz — both traced
+    inputs of the per-batch program, rebuilt once per change."""
+
+    banks: jnp.ndarray
+    toe_pad: jnp.ndarray
+
+
+def build_cat_tables_dyn(plan, ops: DynOperators,
+                         fast: bool = True) -> CatDynTables:
+    """banks + padded toe from dynamic operators (one call per change)."""
+    from ..kernels.fir_class import DPAD
+
+    return CatDynTables(
+        banks=build_cat_banks_dyn(plan, ops, fast=fast),
+        toe_pad=_dyn_toe_padded(ops, DPAD),
+    )
+
+
 def build_cat_banks_dyn(plan, ops: DynOperators, fast: bool = True):
     """Traced pre-rotated cat banks from dynamic operators.
 
@@ -864,7 +904,9 @@ def build_cat_banks_dyn(plan, ops: DynOperators, fast: bool = True):
 
 def _dyn_toe_padded(ops: DynOperators, dpad: int) -> jnp.ndarray:
     """(G*dpad, G*d) traced: ops.toe rows spread to the packed-inj stride
-    (ops/eq._toe_padded's traced twin; one row-gather per gain change)."""
+    (ops/eq._toe_padded's traced twin).  Hoist it to gain-change time via
+    build_cat_tables_dyn — inside a per-batch program it would re-gather
+    ~12 MB every batch."""
     import numpy as np
 
     d = ops.group_in.shape[-1]
@@ -884,6 +926,7 @@ def equalize_dynamic_cat_ops(
     inj_packed: jnp.ndarray,
     ops: DynOperators,
     fast: bool = False,
+    toe_padded: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """EQ finish on the cat kernel's emission with TRACED operators.
 
@@ -911,8 +954,10 @@ def equalize_dynamic_cat_ops(
     lead = y0_frames.shape[:-2]
     y0 = y0_frames.reshape(lead + (K, G, U))
     toe_prec = jax.lax.Precision.HIGH if fast else _HI
+    if toe_padded is None:
+        toe_padded = _dyn_toe_padded(ops, DPAD)
     s_tail = jnp.einsum(
-        "...x,xy->...y", inj_packed, _dyn_toe_padded(ops, DPAD),
+        "...x,xy->...y", inj_packed, toe_padded,
         precision=toe_prec, preferred_element_type=f32,
     ).reshape(lead + (K, G, d))
     e_states = s_tail[..., G - 1, :]
@@ -920,47 +965,7 @@ def equalize_dynamic_cat_ops(
         [jnp.zeros(lead + (K, 1, d), f32), s_tail[..., : G - 1, :]],
         axis=-2,
     )
-    # Cross-block carry (same forms as _dynamic_grouped).
-    k_axis = e_states.ndim - 2
-    blead = e_states.shape[:-2]
-    if K == 1:
-        sigma = jnp.zeros_like(e_states)
-    elif ops.carry_w is not None:
-        vecs = jnp.concatenate(
-            [
-                jnp.zeros(blead + (1, d), f32),
-                jax.lax.slice_in_dim(e_states, 0, K - 1, axis=k_axis),
-            ],
-            axis=k_axis,
-        )
-        sigma = einsum_f32(
-            "...x,xy->...y", vecs.reshape(blead + (K * d,)), ops.carry_w
-        ).reshape(blead + (K, d))
-    else:
-        head = jnp.broadcast_to(
-            jnp.eye(d, dtype=f32), blead + (1, d, d)
-        )
-        tail = jnp.broadcast_to(ops.A_blk, blead + (K - 1, d, d))
-        mats = jnp.concatenate([head, tail], axis=k_axis)
-        vecs = jnp.concatenate(
-            [
-                jnp.zeros(blead + (1, d), f32),
-                jax.lax.slice_in_dim(e_states, 0, K - 1, axis=k_axis),
-            ],
-            axis=k_axis,
-        )
-
-        def combine(left, right):
-            m1, v1 = left
-            m2, v2 = right
-            return (
-                einsum_f32("...ij,...jk->...ik", m2, m1),
-                einsum_f32("...ij,...j->...i", m2, v1) + v2,
-            )
-
-        _, sigma = jax.lax.associative_scan(
-            combine, (mats, vecs), axis=k_axis
-        )
+    sigma = dyn_block_carry(e_states, ops.carry_w, ops.A_blk)
     s_true = s_in + einsum_f32("gef,...kf->...kge", ops.pows_g, sigma)
     z = y0 + einsum_f32("...gd,du->...gu", s_true, ops.group_out)
     return jnp.clip(z.reshape(lead + (F, U)), -1.0, 1.0)

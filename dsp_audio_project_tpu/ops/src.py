@@ -246,9 +246,8 @@ def resample_rows(
     covers x[k*s + lo : k*s + lo + W] with zero extension outside x.
     """
     s, W = plan.s, plan.W
-    pad_l = max(0, -plan.lo)
-    a = r0 * s - pad_l            # window span in x coordinates
-    b = (r1 - 1) * s + W - pad_l
+    a = r0 * s + plan.lo          # window span in x coordinates
+    b = (r1 - 1) * s + plan.lo + W
     n = x.shape[-1]
     lpad = max(0, -a)
     rpad = max(0, b - n)

@@ -390,8 +390,15 @@ class ShardedStreamProcessor:
         fpb = -(-fpb // 16) * 16
         if cat_ok:
             # The packed-inj layout groups frames by the kernel's 128-frame
-            # supers; align the EQ block to a multiple of that.
-            fpb = max(128, -(-fpb // 128) * 128)
+            # supers; align the EQ block to a multiple of that — but only
+            # when the caller's explicit frames_per_shard stays a multiple
+            # of it (a pre-round-5 value like 64 must keep working: cat
+            # simply stays off there).
+            fpb_cat = max(128, -(-fpb // 128) * 128)
+            if frames_per_shard is None or frames_per_shard % fpb_cat == 0:
+                fpb = fpb_cat
+            else:
+                cat_ok = False
         self._fpb = fpb
         # Requested unroll: P on the fused frame-major path (frames feed the
         # EQ directly), 128 on the flat path.  The static builder halves it
@@ -496,12 +503,12 @@ class ShardedStreamProcessor:
         if getattr(self, "_cat_dyn", False):
             import jax
 
-            from .ops.eq_dynamic import build_cat_banks_dyn
+            from .ops.eq_dynamic import build_cat_tables_dyn
 
             if getattr(self, "_bank_jit", None) is None:
                 kc = self.config.kernels
                 self._bank_jit = jax.jit(
-                    lambda o: build_cat_banks_dyn(
+                    lambda o: build_cat_tables_dyn(
                         self._plan, o, fast=bool(kc.src_fast)
                     )
                 )
@@ -795,11 +802,10 @@ class ShardedStreamProcessor:
                 from .kernels.fir_class import (
                     DPAD, polyphase_fir_class_rect_cat,
                 )
-                from .ops.eq_dynamic import _dyn_toe_padded
 
                 x_ext = extend_halo(x_loc, tail)
                 y0p, ip = polyphase_fir_class_rect_cat(
-                    x_ext, plan, fl * P_cls, None, banks=banks,
+                    x_ext, plan, fl * P_cls, None, banks=banks.banks,
                     num_frames=fl, pad_left=0,
                     precision="fast" if kc.src_fast
                     else jax.lax.Precision.HIGHEST,
@@ -814,7 +820,7 @@ class ShardedStreamProcessor:
                 G = fpb
                 lead = x_g.shape[:-2]
                 s_tail = jnp.einsum(
-                    "...x,xy->...y", ipg, _dyn_toe_padded(od, DPAD),
+                    "...x,xy->...y", ipg, banks.toe_pad,
                     precision=toe_prec, preferred_element_type=f32,
                 ).reshape(lead + (G, d_dyn))
             else:

@@ -78,11 +78,34 @@ def main():
             want, _ = pipeline_oracle(x, FS, cfg.src, cfg.eq, engine="fast")
             q = snr_db(want, z)
             n_run += 1
-            path = ("cat" if pipe.cat_supported(n, FS)
-                    and jax.default_backend() == "tpu"
-                    else "frames" if pipe.frames_supported(n) else "flat")
+            # Label the path AudioPipeline.__call__ actually routed (it
+            # selects frames/flat; the cat path is the serving/bench
+            # surface and is gated separately by tests/bench — an earlier
+            # revision mislabeled cat-capable configs here).
+            kc2 = cfg.kernels
+            path = (
+                "frames"
+                if (jax.default_backend() == "tpu" and not kc2.interpret
+                    and kc2.fir_path == "auto" and kc2.iir_path == "auto"
+                    and pipe.frames_supported(n))
+                else "flat"
+            )
+            cat_note = ""
+            if (jax.default_backend() == "tpu"
+                    and pipe.cat_supported(n, FS)):
+                # The serving/bench surface: gate the cat path too.
+                zc = np.asarray(
+                    pipe.jit_forward_cat()(jnp.asarray(x), FS)
+                ).reshape(-1)[:n_out]
+                qc = snr_db(want, zc)
+                cat_note = f"  cat={qc:6.1f} dB"
+                if qc < worst[0]:
+                    worst = (qc, (L, M, gname, "cat"))
+                assert qc > 60.0, (
+                    f"cat SNR gate failed at {(L, M, gname)}: {qc:.1f}"
+                )
             log(f"L={L:3d} M={M:3d} gains={gname:7s} path={path:6s} "
-                f"snr={q:6.1f} dB  ({time.perf_counter()-t0:.1f}s)")
+                f"snr={q:6.1f} dB{cat_note}  ({time.perf_counter()-t0:.1f}s)")
             if q < worst[0]:
                 worst = (q, (L, M, gname))
             assert q > 60.0, f"SNR gate failed at {(L, M, gname)}: {q:.1f}"

@@ -383,7 +383,7 @@ def test_dynamic_cat_matches_dynamic_frames():
     names = [nm for nm, _ in cfg.eq.band_centers]
     g = np.asarray([float(GAINS.get(nm, 0.0)) for nm in names])
     dops = pipe.dynamic_eq_operators(g, FS, n, builder="host")
-    banks = pipe.dynamic_cat_banks(dops)
+    banks = pipe.dynamic_cat_tables(dops)
     zc = pipe.jit_forward_cat_dynamic_ops()(jnp.asarray(x), dops, banks, FS)
     zf, _ = pipe.jit_forward_frames_dynamic_ops()(jnp.asarray(x), dops, FS)
     a = np.asarray(zf).reshape(-1)[:n_out]
@@ -394,7 +394,7 @@ def test_dynamic_cat_matches_dynamic_frames():
     # a DIFFERENT gain vector through the same compiled functions
     g2 = np.asarray([float(((i * 5) % 25) - 12) for i in range(len(names))])
     dops2 = pipe.dynamic_eq_operators(g2, FS, n, builder="host")
-    banks2 = pipe.dynamic_cat_banks(dops2)
+    banks2 = pipe.dynamic_cat_tables(dops2)
     zc2 = pipe.jit_forward_cat_dynamic_ops()(
         jnp.asarray(x), dops2, banks2, FS)
     zf2, _ = pipe.jit_forward_frames_dynamic_ops()(jnp.asarray(x), dops2, FS)
@@ -403,6 +403,11 @@ def test_dynamic_cat_matches_dynamic_frames():
 
 
 def test_dynamic_cat_lowers_for_tpu():
+    from dsp_audio_project_tpu.ops.eq_dynamic import (
+        CatDynTables, build_cat_tables_dyn,
+    )
+    from dsp_audio_project_tpu.ops.src import make_plan
+
     pipe = AudioPipeline(PipelineConfig(
         src=SRCConfig(L=160, M=147), eq=EQConfig.from_gains(GAINS),
         kernels=KernelConfig(eq_fast=True, src_fast=True),
@@ -411,19 +416,17 @@ def test_dynamic_cat_lowers_for_tpu():
     names = [nm for nm, _ in pipe.config.eq.band_centers]
     g = np.zeros(len(names))
     dops = pipe.dynamic_eq_operators(g, FS, n, builder="host")
-    banks_shape = jax.eval_shape(
-        lambda o: __import__(
-            "dsp_audio_project_tpu.ops.eq_dynamic", fromlist=["x"]
-        ).build_cat_banks_dyn(
-            __import__(
-                "dsp_audio_project_tpu.ops.src", fromlist=["x"]
-            ).make_plan(160, 147), o, fast=True),
+    tab_shape = jax.eval_shape(
+        lambda o: build_cat_tables_dyn(make_plan(160, 147), o, fast=True),
         dops,
+    )
+    tables = CatDynTables(
+        banks=jnp.zeros(tab_shape.banks.shape, tab_shape.banks.dtype),
+        toe_pad=jnp.zeros(tab_shape.toe_pad.shape, tab_shape.toe_pad.dtype),
     )
     fwd = pipe.jit_forward_cat_dynamic_ops()
     fwd.trace(
-        jnp.zeros((2, n), jnp.float32), dops,
-        jnp.zeros(banks_shape.shape, banks_shape.dtype), FS,
+        jnp.zeros((2, n), jnp.float32), dops, tables, FS,
     ).lower(lowering_platforms=("tpu",))
 
 
@@ -469,3 +472,26 @@ def test_streaming_dynamic_cat_with_midstream_gain_change():
     z_ref = run(True)
     assert z_cat.shape == z_ref.shape
     assert snr_db(z_ref.ravel(), z_cat.ravel()) > 95
+
+
+def test_streaming_explicit_small_frames_per_shard_still_works():
+    """A pre-round-5 frames_per_shard (not 128-aligned) must keep working:
+    the cat alignment backs off instead of raising (review finding)."""
+    from dsp_audio_project_tpu.config import KernelConfig, MeshConfig
+    from dsp_audio_project_tpu.parallel.mesh import build_mesh
+    from dsp_audio_project_tpu.streaming import ShardedStreamProcessor
+
+    cfg = PipelineConfig(
+        src=SRCConfig(L=160, M=147), eq=EQConfig.from_gains(GAINS),
+        kernels=KernelConfig(eq_fast=True, src_fast=True, interpret=True),
+    )
+    mesh = build_mesh(MeshConfig(channel_devices=1, block_devices=1))
+    sp = ShardedStreamProcessor(cfg, FS, mesh, 1, frames_per_shard=64)
+    assert not sp._cat and not sp._cat_dyn
+    n = FS
+    x = make_x(n, seed=91)[None]
+    outs = [sp.process(x), sp.flush()]
+    z = np.concatenate(outs, axis=1)
+    want, _ = pipeline_oracle(x[0], FS, cfg.src, cfg.eq, engine="fast")
+    m = min(len(want), z.shape[1])
+    assert snr_db(want[:m], z[0][:m]) > 90
