@@ -239,9 +239,9 @@ def _rfft_kernel_plan(n: int):
     N=65536 0.107 ms/16 rows = 5.6x the XLA butterfly; N=131072 0.234 ms/
     16 rows = 6.1x; N=262144 (balanced 512x512, 24 MB VMEM cap) 0.298 ms/
     8 rows = 20.4x; N=524288 (n1=1024 with bf16-pair D1, 48 MB cap)
-    0.429 ms/4 rows = 26.7x.  Above 524288 the butterfly takes over (the
-    next split's tables + temporaries outgrow VMEM; an HBM-staged
-    two-level kernel is the documented next step).
+    0.429 ms/4 rows = 26.7x.  N=1048576 runs the round-5 HBM-staged
+    two-level kernel (numbers in the routing branch below); 2097152+
+    falls back to the butterfly (compile-bound — see the branch comment).
     """
     n1 = _four_step_kernel_n1(n)
     if n1 is not None:
