@@ -462,9 +462,32 @@ def equalize_frames_cat(
     ).reshape(lead + (F, U))
     if rows is None:
         return z
+    # Side rows for the spectra consumer.  Recompute the ~13 rows' states
+    # from s_in/end_states slices + tiny sigma gathers instead of slicing
+    # s_true: slicing would force the full (K, G, d) s_true OUT of the
+    # final fusion as a 5.9 MB copy (measured 7.2 us/signal, round 5);
+    # the Toeplitz product is materialized regardless.
     r0, r1 = rows
+    idx = np.arange(r0, r1)
     y0_rows = y0_frames[..., r0:r1, :]
-    st_rows = s_true.reshape(lead + (F, d))[..., r0:r1, :]
+    # Flat s_tail rows: s_in[k, 1:] are s_tail[k, :G-1]; end_states close
+    # each block — together they reconstruct s_tail without new compute.
+    st_flat = jnp.concatenate(
+        [s_in[..., 1:, :], end_states[..., None, :]], axis=-2
+    ).reshape(lead + (F, d))
+    lo = max(r0 - 1, 0)
+    sin_rows = st_flat[..., lo : r1 - 1, :]
+    if r0 == 0:
+        sin_rows = jnp.concatenate(
+            [jnp.zeros(lead + (1, d), f32), sin_rows], axis=-2
+        )
+    # s_in semantics: zero at block starts (r % G == 0).
+    mask = jnp.asarray(1.0 - (idx % G == 0).astype(np.float32))[:, None]
+    sin_rows = sin_rows * mask
+    sig_rows = jnp.take(sigma, jnp.asarray((idx // G).astype(np.int32)),
+                        axis=-2)
+    gp_rows = jnp.asarray(ops.group_pows[idx % G].astype(np.float32))
+    st_rows = sin_rows + einsum_f32("ref,...rf->...re", gp_rows, sig_rows)
     z_rows = jnp.clip(
         y0_rows + einsum_f32("...gd,du->...gu", st_rows, gOut), -1.0, 1.0
     )
