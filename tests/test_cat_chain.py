@@ -495,3 +495,25 @@ def test_streaming_explicit_small_frames_per_shard_still_works():
     want, _ = pipeline_oracle(x[0], FS, cfg.src, cfg.eq, engine="fast")
     m = min(len(want), z.shape[1])
     assert snr_db(want[:m], z[0][:m]) > 90
+
+
+@pytest.mark.parametrize("rows", [(0, 13), (120, 140), (250, 263)])
+def test_cat_rows_edges_match_full_output(rows):
+    """The spectra side-rows (recomputed without materializing s_true)
+    equal the corresponding full-output rows, including block-boundary
+    crossings (r % 128 == 0 inside the range) and r0 = 0."""
+    from dsp_audio_project_tpu.ops.eq import equalize_frames_cat
+
+    pipe = make_pipe(True)
+    n = FS
+    x = make_x(n, seed=71)
+    (y0, injp), plan, n_out, fs_out = pipe._cat_pieces(jnp.asarray(x), FS)
+    cfg = pipe.config.eq
+    z, z_rows = equalize_frames_cat(
+        y0, injp, fs_out, cfg, unroll=plan.P, fast=True, rows=rows)
+    r0, r1 = rows
+    ref = np.asarray(z)[..., r0:r1, :]
+    got = np.asarray(z_rows)
+    assert got.shape == ref.shape
+    # identical math on the same inputs -> float-exact
+    assert snr_db(ref.ravel(), got.ravel()) > 130
