@@ -596,6 +596,11 @@ def _class_rect_cat_kernel(r0_ref, rrel_ref, x_hbm, bank_ref, out_ref,
         b_n = jnp.where(last_b, 0, b + 1)
         start_all(t_n, b_n, 1 - slot)
 
+    # (Round-5 measured dead end: splitting the WHOLE rectangle to bf16
+    # hi/lo once per step — via VMEM scratch refs, since value-side slab
+    # gathers don't lower — saved ~40% of the cast work but measured
+    # 167.9 vs 165.1 us/signal src+eq: the up-front split serializes
+    # against the matmuls, where the per-slab casts pipeline with them.)
     for j in range(CLASS_GROUP):
         rho = t * CLASS_GROUP + j
         acc = None
