@@ -631,11 +631,21 @@ class ShardedStreamProcessor:
             w_idx = np.arange(plan.W, dtype=np.int32)[None, :]
             gather_idx = k_idx * plan.s + w_idx
 
+        # With ONE block shard there are no neighbors: the halo is the
+        # stream tail, which lives in the SAME host span buffer as x —
+        # upload them pre-joined and skip the device-side concat.
+        # (Measured neutral at FL=8192 — XLA had already fused the concat
+        # into the staging pad; the step's visible copy.11 is the z
+        # OUTPUT materialization, ~63 us — but the pre-join drops a
+        # dead upload and a concat from the graph.)
+        prejoin = nb == 1 and hr > 0
+
         def extend_halo(x_loc, tail):
             """Halo exchange: per-shard input + right halo from the next
-            shard (or the real stream tail on the last shard)."""
+            shard (or the real stream tail on the last shard).  Under
+            ``prejoin`` x_loc already carries the tail."""
             xf = x_loc.astype(jnp.float32)
-            if not hr:
+            if not hr or prejoin:
                 return xf
             nb_ = jax.lax.axis_size(BLOCK_AXIS)
             right = jax.lax.ppermute(
@@ -1079,13 +1089,28 @@ class ShardedStreamProcessor:
             )
 
         mesh = self.mesh
-        x_d = jax.device_put(
-            arr[:, :span_len], NamedSharding(mesh, P(CHANNEL_AXIS, BLOCK_AXIS))
-        )
         rep = NamedSharding(mesh, P(CHANNEL_AXIS))
-        tail_d = jax.device_put(
-            np.ascontiguousarray(arr[:, span_len:]), rep
-        )
+        prejoin = self._nb == 1 and self._hr > 0
+        if prejoin:
+            # Single block shard: the tail rides the same span buffer —
+            # upload pre-joined, skip the device-side halo concat (see
+            # extend_halo).  The tail argument becomes a dead input.
+            x_d = jax.device_put(
+                arr, NamedSharding(mesh, P(CHANNEL_AXIS, BLOCK_AXIS))
+            )
+            if getattr(self, "_tail_dummy", None) is None:
+                self._tail_dummy = jax.device_put(
+                    np.zeros((self._c_pad, self._hr), np.float32), rep
+                )
+            tail_d = self._tail_dummy
+        else:
+            x_d = jax.device_put(
+                arr[:, :span_len],
+                NamedSharding(mesh, P(CHANNEL_AXIS, BLOCK_AXIS)),
+            )
+            tail_d = jax.device_put(
+                np.ascontiguousarray(arr[:, span_len:]), rep
+            )
         if self._sigma_dev is None:
             sig = np.zeros((self._c_pad, max(1, self._d)), np.float32)
             if self._d:
