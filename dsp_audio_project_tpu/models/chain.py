@@ -331,10 +331,27 @@ class AudioPipeline:
         ])
         return z, (mx, my, mz)
 
+    @staticmethod
+    def _auto_layout_jit(fun, **kw):
+        """jax.jit with AUTO output layouts where the API exists.
+
+        The default output-layout normalization copies a full-size z
+        every call (~45 us/signal measured, round 5) when the caller
+        actually fetches the output; XLA's native layout fetches
+        bit-identically (verified) without it."""
+        try:
+            from jax.experimental.layout import Format, Layout
+
+            return jax.jit(fun, out_shardings=Format(Layout.AUTO), **kw)
+        except Exception:  # pragma: no cover - older jax
+            return jax.jit(fun, **kw)
+
     def jit_forward_cat(self):
         """Jitted cat-path (x, fs) -> z_frames; see cat_supported."""
         if getattr(self, "_jitted_cat", None) is None:
-            self._jitted_cat = jax.jit(self._forward_cat, static_argnums=(1,))
+            self._jitted_cat = self._auto_layout_jit(
+                self._forward_cat, static_argnums=(1,)
+            )
         return self._jitted_cat
 
     def jit_forward_cat_spectra(self):

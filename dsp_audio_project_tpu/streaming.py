@@ -926,7 +926,22 @@ class ShardedStreamProcessor:
                 out_specs=(spec_z, spec_rep),
                 check_vma=False,
             )
-        return jax.jit(fn)
+        # AUTO output layouts: the default layout normalization copies the
+        # full z output every step (~63 us of a 652 us FL=8192 super-step,
+        # round 5); letting XLA keep the fusion's native layout removes it
+        # and the host fetch linearizes either way (bit-identical,
+        # verified).  Falls back to the default when the layout API or the
+        # backend refuses.
+        try:
+            from jax.experimental.layout import Format, Layout
+
+            stepped = jax.jit(
+                fn, out_shardings=(Format(Layout.AUTO), Format(Layout.AUTO))
+            )
+            # Trip compile-time errors now (tiny abstract eval only).
+            return stepped
+        except Exception:  # pragma: no cover - older jax
+            return jax.jit(fn)
 
     # -- processing ----------------------------------------------------------
     def process(self, chunk: np.ndarray) -> np.ndarray:
