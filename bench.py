@@ -414,11 +414,12 @@ def main() -> None:
         mesh1 = build_mesh(MeshConfig(channel_devices=1, block_devices=1))
         C_st = 8
         # Super-step size from the round-5 sweep (scripts/stream_sweep.py,
-        # cat super-steps): the kernel's per-launch fixed cost (operator-
-        # bank DMA ~34 MB) amortizes with step size — FL=2048 measured 53%
-        # of one-shot, 4096 83%, 8192 92.1%; 12288/16384 regress on the
-        # XLA staging refission (STATUS round 5).
-        FL = 8192                       # frames per super-step
+        # cat super-steps + AUTO output layouts): the kernel's per-launch
+        # fixed cost (operator-bank DMA ~34 MB) amortizes with step size —
+        # FL=4096 measured 90% of one-shot, 8192 95.5%, 12288 **103.5%**
+        # (streaming skips the one-shot's signal-edge padding waste);
+        # 16384 regresses to 92% on the XLA staging refission (STATUS r5).
+        FL = 12288                      # frames per super-step
         sec_st = 120.0                  # longer signal: 7 steady-state steps
         n_st = int(sec_st * FS)
         x_st = make_signal(n_st, FS)
