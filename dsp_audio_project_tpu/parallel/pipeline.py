@@ -444,7 +444,7 @@ def build_sharded_pipeline(
             in_specs=(spec,), out_specs=spec,
             check_vma=False,
         )
-        return jax.jit(sharded), sp
+        return _auto_layout_jit(sharded, 1), sp
 
     spec = P(CHANNEL_AXIS, BLOCK_AXIS)
     sharded = shard_map(
@@ -452,7 +452,23 @@ def build_sharded_pipeline(
         in_specs=(spec,), out_specs=(spec, spec),
         check_vma=False,
     )
-    return jax.jit(sharded), sp
+    return _auto_layout_jit(sharded, 2), sp
+
+
+def _auto_layout_jit(fun, n_out: int):
+    """jit with AUTO output layouts (streaming.py's measured fix: the
+    default layout normalization copies the full z output per call; XLA's
+    native layout fetches bit-identically without it)."""
+    try:
+        from jax.experimental.layout import Format, Layout
+
+        shardings = (
+            Format(Layout.AUTO) if n_out == 1
+            else tuple(Format(Layout.AUTO) for _ in range(n_out))
+        )
+        return jax.jit(fun, out_shardings=shardings)
+    except Exception:  # pragma: no cover - older jax
+        return jax.jit(fun)
 
 
 _sharded_cache: dict = {}
