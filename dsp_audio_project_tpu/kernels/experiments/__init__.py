@@ -20,4 +20,25 @@ Round-5 measured dead ends without modules (see STATUS): bf16 y0 emission
 correction as broadcast-multiply-reduce on the VPU (226 vs 165 us/signal —
 XLA splits the rank-d update out of the clip fusion and materializes both
 halves: clamp_reduce 50.1 + multiply_reduce 23.6 + copy 28.5 us).
+
+Round-5 late entries (selectable-but-off on the production modules, like
+ops/eq.equalize_frames_cat(finish='pallas')):
+
+* **Pre-split bf16 staging** (`fir_class.polyphase_fir_class_rect_cat
+  (staged_split=True)`): the staging pass emits hi|lo bf16 lane-pairs
+  (same bytes) so the kernel is pure DMA + MXU.  Measured 198.3 vs 165.1
+  us/signal src+eq, 102.0 dB: the kernel is UNCHANGED (580.6 vs 583.1 us
+  batch-8 — the in-kernel casts pipeline behind the matmuls for free) and
+  the 5-D staging transpose fissions into an extra full-size XLA pass.
+  Corollary: the cat kernel is MXU + DMA-overlap bound, not VPU-bound.
+* **Frames-layout pad tax: none** (`scripts/layout_probe.py`): an
+  elementwise read+write of (8,144,128,160) f32 equals the flat-dense
+  (8,144,20480) form exactly (286.6 vs 286.3 us, 659 GB/s) — XLA does
+  NOT move pad bytes for 160-minor arrays, so a flat-emission redesign
+  of the cat chain has no bandwidth to win.  The probe also pins this
+  chip's ACHIEVABLE stream bandwidth at ~660 GB/s (not the 819 GB/s
+  nameplate): the finish fusion (42.3 us) runs at ~85% of achievable and
+  the staging at ~98% — and a lane-aligned "quad" finish (4 frames = 5
+  x 128 lanes, (40, 640) weights) measured SLOWER (309.7 vs 298.8 us
+  batch-8: the s_quad regroup materializes a 21 us copy).
 """

@@ -624,6 +624,96 @@ def _class_rect_cat_kernel(r0_ref, rrel_ref, x_hbm, bank_ref, out_ref,
         inj_ref[0, :, j * DPAD : (j + 1) * DPAD] = acc[:, P : P + DPAD]
 
 
+def _class_rect_cat_kernel_split(r0_ref, rrel_ref, x_hbm, xw_hbm, bank_ref,
+                                 out_ref, inj_ref, xbuf, sems, *, nc, Kp, P,
+                                 RG, wr, B, n_groups):
+    """Cat kernel body on PRE-SPLIT bf16 staging — pure DMA + MXU.
+
+    The in-kernel hi/lo casts of _class_rect_cat_kernel are VPU work that
+    sits on the MXU's critical path (and each staged row is re-cast ~1.85x
+    across the classes that share it).  Here the STAGING pass emits the
+    split instead — xv[..., 0:128] = bf16 hi (low-16-mantissa truncation),
+    xv[..., 128:256] = bf16 lo, same total bytes as the f32 staging — so
+    the kernel reads 128-aligned lane halves of each slab and goes straight
+    to the three bf16 matmuls.  The wrap rows arrive as their own tiny
+    staged tensor ``xw_hbm`` (= xv[:, :wr, 1:Kp+1]): 16-bit tiled HBM
+    arrays reject the f32 kernel's J-offset-1 wrap slice (Mosaic cannot
+    prove sublane-tile divisibility for packed dtypes), and the wr*Kp-chunk
+    copy is noise in the staging pass.  Only meaningful for
+    precision='fast'.
+    """
+    t = pl.program_id(0)
+    b = pl.program_id(1)
+    step = t * B + b
+    slot = jax.lax.rem(step, 2)
+
+    def dma_main(t_i, b_i, slot_i):
+        return pltpu.make_async_copy(
+            x_hbm.at[b_i, pl.ds(r0_ref[t_i], RG), 0:Kp, :],
+            xbuf.at[slot_i, 0:RG],
+            sems.at[slot_i, 0],
+        )
+
+    def dma_wrap(b_i, slot_i):
+        return pltpu.make_async_copy(
+            xw_hbm.at[b_i, 0:wr, :, :],
+            xbuf.at[slot_i, RG : RG + wr],
+            sems.at[slot_i, 1],
+        )
+
+    def start_all(t_i, b_i, slot_i):
+        dma_main(t_i, b_i, slot_i).start()
+        if wr:
+            dma_wrap(b_i, slot_i).start()
+
+    @pl.when(step == 0)
+    def _():
+        start_all(t, b, slot)
+
+    dma_main(t, b, slot).wait()
+    if wr:
+        dma_wrap(b, slot).wait()
+
+    @pl.when(step + 1 < n_groups * B)
+    def _():
+        last_b = b == B - 1
+        t_n = jnp.where(last_b, t + 1, t)
+        b_n = jnp.where(last_b, 0, b + 1)
+        start_all(t_n, b_n, 1 - slot)
+
+    for j in range(CLASS_GROUP):
+        rho = t * CLASS_GROUP + j
+        acc = None
+        for c in range(nc):
+            pair = xbuf[slot, rrel_ref[c, rho]]       # (Kp, 256) bf16
+            fh = pair[:, 0:128]
+            fl = pair[:, 128:256]
+            gh = bank_ref[0, j, 0, c * 128 : (c + 1) * 128, :]
+            gl = bank_ref[0, j, 1, c * 128 : (c + 1) * 128, :]
+            term = jnp.dot(fh, gh, preferred_element_type=jnp.float32)
+            term += jnp.dot(fl, gh, preferred_element_type=jnp.float32)
+            term += jnp.dot(fh, gl, preferred_element_type=jnp.float32)
+            acc = term if acc is None else acc + term
+        out_ref[0, :, j, :] = acc[:, :P]
+        inj_ref[0, :, j * DPAD : (j + 1) * DPAD] = acc[:, P : P + DPAD]
+
+
+def split_bf16_pair(xp: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact-ish bf16 (hi, lo) split that survives XLA simplification.
+
+    The naive round-trip form (x - hi.astype(f32)) is algebraically
+    simplified by TPU XLA into an effectively-zero low half (STATUS r5, a
+    measured 56.6 dB regression); truncating the low 16 mantissa bits via
+    bitcast+mask produces an hi exactly representable in bf16 that no
+    simplifier pattern folds, and the residual subtraction stays real.
+    """
+    u = jax.lax.bitcast_convert_type(xp, jnp.uint32)
+    hi_f32 = jax.lax.bitcast_convert_type(
+        u & jnp.uint32(0xFFFF0000), jnp.float32
+    )
+    return hi_f32.astype(jnp.bfloat16), (xp - hi_f32).astype(jnp.bfloat16)
+
+
 def cat_bank_row_index(plan: PolyphasePlan, w0: int = 0) -> np.ndarray:
     """(128, nc*128) int32: row r of class rho's bank = G2_ext[idx[rho, r]]
     (index W selects the zero guard row) — the device-side bank builder's
@@ -649,6 +739,7 @@ def polyphase_fir_class_rect_cat(
     interpret: bool = False,
     num_frames: int | None = None,
     pad_left: int | None = None,
+    staged_split: bool | None = None,
 ):
     """Rect FIR kernel with the EQ's weight-concat matmul folded in.
 
@@ -675,6 +766,18 @@ def polyphase_fir_class_rect_cat(
         w_cat = np.ascontiguousarray(w_cat, dtype=np.float64)
     elif banks is None:
         raise ValueError("pass w_cat (host fold) or banks (traced)")
+    if staged_split is None:
+        # Measured OFF (round 5, 60 s serving config, batch-8): src+eq
+        # 198.3 vs 165.1 us/signal.  The kernel itself is UNCHANGED
+        # (580.6 vs 583.1 us batch-8) — the in-kernel hi/lo casts pipeline
+        # behind the matmuls and cost ~nothing — while the staging side
+        # fissions: XLA splits the 5-D stack+transpose into an extra
+        # full-size pass (fusion.4 263 + copy.12 157 us vs the f32
+        # staging's 269 us total).  Kept selectable for study; the kernel
+        # floor is the MXU pad + ~75%-efficient DMA overlap, not VPU.
+        staged_split = False
+    if staged_split and precision != "fast":
+        raise ValueError("staged_split only composes with precision='fast'")
     s, P, W = plan.s, plan.P, plan.W
     if s < 8:
         raise ValueError("class kernels target the wide-stride regime s>=8")
@@ -684,6 +787,7 @@ def polyphase_fir_class_rect_cat(
         y0, inj = polyphase_fir_class_rect_cat(
             x[None], plan, n_out, w_cat, banks=banks, precision=precision,
             interpret=interpret, num_frames=num_frames, pad_left=pad_left,
+            staged_split=staged_split,
         )
         return y0[0], inj[0]
     lead = x.shape[:-1]
@@ -710,7 +814,23 @@ def polyphase_fir_class_rect_cat(
         x = x[..., : n + pad_right]
         pad_right = 0
     xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (pad_left, pad_right)))
-    xv = xp.reshape(B, J0, s, 128).transpose(0, 2, 1, 3)  # (B, s, J0, 128)
+    if staged_split:
+        # (B, s, J0, 256) bf16: lanes [0:128] hi, [128:256] lo — the hi/lo
+        # split rides the (bandwidth-bound) staging pass at the same byte
+        # count, and the kernel body is pure DMA + MXU.
+        xh, xl = split_bf16_pair(xp)
+        xs = jnp.stack([xh, xl], axis=1)                 # (B, 2, total)
+        xv = (
+            xs.reshape(B, 2, J0, s, 128)
+            .transpose(0, 3, 2, 1, 4)
+            .reshape(B, s, J0, 256)
+        )
+        # Wrap rows (virtual rows r >= s alias (r - s, j + 1)) as their own
+        # tensor at J-offset ZERO — see _class_rect_cat_kernel_split.
+        nwr = max(wr, 1)
+        xw = xv[:, :nwr, 1 : Kp + 1, :]
+    else:
+        xv = xp.reshape(B, J0, s, 128).transpose(0, 2, 1, 3)  # (B,s,J0,128)
 
     CG = CLASS_GROUP
     n_groups = NUM_CLASSES // CG
@@ -745,17 +865,27 @@ def polyphase_fir_class_rect_cat(
             memory_space=pltpu.VMEM,
         )
 
-    kern = functools.partial(
-        _class_rect_cat_kernel, nc=nc, Kp=Kp, P=P, RG=RG, wr=wr, B=B,
-        n_groups=n_groups, precision=precision,
-    )
+    if staged_split:
+        kern = functools.partial(
+            _class_rect_cat_kernel_split, nc=nc, Kp=Kp, P=P, RG=RG, wr=wr,
+            B=B, n_groups=n_groups,
+        )
+        xbuf_shape = pltpu.VMEM(
+            (2, RG + max(wr, 1), Kp, 256), jnp.bfloat16
+        )
+    else:
+        kern = functools.partial(
+            _class_rect_cat_kernel, nc=nc, Kp=Kp, P=P, RG=RG, wr=wr, B=B,
+            n_groups=n_groups, precision=precision,
+        )
+        xbuf_shape = pltpu.VMEM((2, RG + max(wr, 1), Kp, 128), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_groups, B),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),       # xv stays in HBM
-            bank_spec,
-        ],
+        in_specs=(
+            [pl.BlockSpec(memory_space=pltpu.ANY)] * (2 if staged_split else 1)
+            + [bank_spec]
+        ),
         out_specs=[
             pl.BlockSpec(
                 (1, Kp, CG, P), lambda t, b, r_, rr_: (b, 0, t, 0),
@@ -767,7 +897,7 @@ def polyphase_fir_class_rect_cat(
             ),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, RG + max(wr, 1), Kp, 128), jnp.float32),
+            xbuf_shape,
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
@@ -776,6 +906,9 @@ def polyphase_fir_class_rect_cat(
         params["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=28 * 1024 * 1024,
         )
+    operands = (
+        (xv, xw, banks) if staged_split else (xv, banks)
+    )
     out4, inj3 = pl.pallas_call(
         kern,
         out_shape=[
@@ -785,7 +918,7 @@ def polyphase_fir_class_rect_cat(
         grid_spec=grid_spec,
         interpret=interpret,
         **params,
-    )(jnp.asarray(r0c), jnp.asarray(rrel2), xv, banks)
+    )(jnp.asarray(r0c), jnp.asarray(rrel2), *operands)
 
     y0 = out4.reshape(lead + (Kp * NUM_CLASSES, P))
     inj = inj3.reshape(lead + (Kp, NUM_CLASSES * DPAD))

@@ -517,3 +517,44 @@ def test_cat_rows_edges_match_full_output(rows):
     assert got.shape == ref.shape
     # identical math on the same inputs -> float-exact
     assert snr_db(ref.ravel(), got.ravel()) > 130
+
+
+def test_cat_kernel_staged_split_matches_and_lowers():
+    """staged_split=True (pre-split bf16 staging; measured off, kept
+    selectable — kernels/experiments ledger): same samples to ~100 dB of
+    the default in-kernel split, and it lowers to TPU MLIR."""
+    from dsp_audio_project_tpu.kernels.fir_class import (
+        polyphase_fir_class_rect_cat,
+    )
+    from dsp_audio_project_tpu.ops.eq import (
+        eq_cat_weights, make_block_operators,
+    )
+    from dsp_audio_project_tpu.ops.src import make_plan
+
+    plan = make_plan(160, 147)
+    fs_out = 48000
+    cfg = EQConfig.from_gains(GAINS)
+    bands = cfg.active_bands(fs_out)
+    ops = make_block_operators(bands, fs_out, cfg.q, 128 * plan.P, plan.P)
+    w_cat = eq_cat_weights(ops)
+    n = FS
+    x = make_x(n, seed=3)
+    n_out = -(-n * 160 // 147)
+    base = polyphase_fir_class_rect_cat(
+        jnp.asarray(x), plan, n_out, w_cat, precision="fast",
+        interpret=True, staged_split=False)
+    split = polyphase_fir_class_rect_cat(
+        jnp.asarray(x), plan, n_out, w_cat, precision="fast",
+        interpret=True, staged_split=True)
+    for a, b in zip(base, split):
+        assert snr_db(np.asarray(a).ravel(), np.asarray(b).ravel()) > 95
+    jax.jit(
+        lambda v: polyphase_fir_class_rect_cat(
+            v, plan, n_out, w_cat, precision="fast", staged_split=True)
+    ).trace(jnp.zeros((2, n), jnp.float32)).lower(
+        lowering_platforms=("tpu",))
+    with pytest.raises(ValueError):
+        polyphase_fir_class_rect_cat(
+            jnp.asarray(x), plan, n_out, w_cat,
+            precision=jax.lax.Precision.HIGHEST, interpret=True,
+            staged_split=True)
