@@ -31,6 +31,16 @@ ops/eq.equalize_frames_cat(finish='pallas')):
   batch-8 — the in-kernel casts pipeline behind the matmuls for free) and
   the 5-D staging transpose fissions into an extra full-size XLA pass.
   Corollary: the cat kernel is MXU + DMA-overlap bound, not VPU-bound.
+* **MXU issue overhead: none** (`scripts/mxu_issue_probe.py`): the cat
+  kernel's exact matmul mix runs at 92.9 TMAC/s (94% of v5e bf16 peak)
+  in a VMEM-resident probe, and 72 narrow (144,128)@(128,256) matmuls
+  per step == 24 wide (144,384)@(384,256) ones (468.0 vs 468.5 us for
+  identical MACs) — no contiguous-contraction restructure to win.  The
+  production kernel (583 us batch-8 incl. ~390 us of DMA overlapped)
+  therefore sits at 80% of its pure-MXU bound; the residue is
+  structurally-zero MACs (lane pad + bank spread), both measured dead.
+  (Probe gotcha: identical operands per iteration get CSE'd by Mosaic —
+  the first revision read an impossible 849 TMAC/s.)
 * **Frames-layout pad tax: none** (`scripts/layout_probe.py`): an
   elementwise read+write of (8,144,128,160) f32 equals the flat-dense
   (8,144,20480) form exactly (286.6 vs 286.3 us, 659 GB/s) — XLA does
