@@ -31,6 +31,16 @@ ops/eq.equalize_frames_cat(finish='pallas')):
   batch-8 — the in-kernel casts pipeline behind the matmuls for free) and
   the 5-D staging transpose fissions into an extra full-size XLA pass.
   Corollary: the cat kernel is MXU + DMA-overlap bound, not VPU-bound.
+* **Zero-block matmul skip: neutral — the kernel is DMA/schedule-bound.**
+  For the serving plan (W=187) 70/128 classes touch only 2 of the nc=3
+  bank column blocks, so 18.2% of the kernel's matmuls multiply all-zero
+  bank rows; predicating them off with pl.when on a prefetched
+  touched-blocks table (exact-zero terms — bitwise identical) measured
+  587.9 vs 583.1 us batch-8: nothing.  Together with the staged-split
+  result (casts also ~free) this pins the kernel at an empirical ~583 us
+  floor set by its DMA schedule — three orthogonal interventions (VPU
+  work -, MXU work -18%, cast placement) all land on the same number.
+  Reverted to keep the production body simple.
 * **MXU issue overhead: none** (`scripts/mxu_issue_probe.py`): the cat
   kernel's exact matmul mix runs at 92.9 TMAC/s (94% of v5e bf16 peak)
   in a VMEM-resident probe, and 72 narrow (144,128)@(128,256) matmuls
