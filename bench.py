@@ -420,7 +420,7 @@ def main() -> None:
         # (streaming skips the one-shot's signal-edge padding waste);
         # 16384 regresses to 92% on the XLA staging refission (STATUS r5).
         FL = 12288                      # frames per super-step
-        sec_st = 120.0                  # longer signal: 7 steady-state steps
+        sec_st = 240.0                  # 5 steps -> 4 measured steady-state
         n_st = int(sec_st * FS)
         x_st = make_signal(n_st, FS)
         sp_st = ShardedStreamProcessor(cfg, FS, mesh1, C_st,
