@@ -519,19 +519,22 @@ def test_cat_rows_edges_match_full_output(rows):
     assert snr_db(ref.ravel(), got.ravel()) > 130
 
 
-def test_cat_kernel_staged_split_matches_and_lowers():
+@pytest.mark.parametrize("L,M", [(160, 147), (3, 8)])
+def test_cat_kernel_staged_split_matches_and_lowers(L, M):
     """staged_split=True (pre-split bf16 staging; measured off, kept
     selectable — kernels/experiments ledger): same samples to ~100 dB of
-    the default in-kernel split, and it lowers to TPU MLIR."""
+    the default in-kernel split, and it lowers to TPU MLIR.  (3, 8) covers
+    the narrow-stride s=8 / nc=2 rect geometry."""
     from dsp_audio_project_tpu.kernels.fir_class import (
-        polyphase_fir_class_rect_cat,
+        polyphase_fir_class_rect_cat, rect_supported,
     )
     from dsp_audio_project_tpu.ops.eq import (
         eq_cat_weights, make_block_operators,
     )
     from dsp_audio_project_tpu.ops.src import make_plan
 
-    plan = make_plan(160, 147)
+    plan = make_plan(L, M)
+    assert rect_supported(plan)
     fs_out = 48000
     cfg = EQConfig.from_gains(GAINS)
     bands = cfg.active_bands(fs_out)
@@ -539,7 +542,7 @@ def test_cat_kernel_staged_split_matches_and_lowers():
     w_cat = eq_cat_weights(ops)
     n = FS
     x = make_x(n, seed=3)
-    n_out = -(-n * 160 // 147)
+    n_out = -(-n * L // M)
     base = polyphase_fir_class_rect_cat(
         jnp.asarray(x), plan, n_out, w_cat, precision="fast",
         interpret=True, staged_split=False)
